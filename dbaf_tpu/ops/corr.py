@@ -1,0 +1,212 @@
+"""Correlation volume: all-pairs build, pyramid, and windowed lookup.
+
+Replaces the reference's CUDA correlation stack (volume build
+/root/reference/dbaf/modules/corr.py:63-71, pyramid :35-38, and the bilinear
+(2r+1)^2 lookup kernel /root/reference/src/correlation_kernels.cu:19-70) with
+TPU-native formulations:
+
+* the volume build is a plain batched matmul (MXU);
+* the lookup is **reformulated as two separable small matmuls** per pixel
+  with on-the-fly triangular (bilinear) interpolation weights, instead of the
+  CUDA per-pixel gather.  For a window of offsets ``a, b in [-r, r]``::
+
+      corr[p, a, b] = interp2(vol[p], y = y0 - r + b, x = x0 - r + a)
+                    = sum_{h,w} vol[p,h,w] * tri(h - (y0-r+b)) * tri(w - (x0-r+a))
+
+  with ``tri(t) = max(0, 1 - |t|)``.  Out-of-bounds taps contribute exact
+  zeros, matching the CUDA kernel's ``within_bounds`` skip.  The two
+  contractions are dense dot_generals -- no gathers anywhere, which is the
+  TPU-idiomatic design (gathers are hostile to the VPU; matmuls ride the
+  MXU).
+
+Channel layout of the lookup output matches the reference exactly:
+level-major, then x-offset-major / y-offset-minor within each level
+(correlation_kernels.cu:47-66 with i = x offset, j = y offset), so converted
+DROID weights consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_RADIUS = 3
+DEFAULT_LEVELS = 4
+
+
+def build_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation volume.
+
+    fmap1, fmap2: (E, C, H, W) feature maps (any float dtype).
+    Returns (E, H*W, H, W) volume = <fmap1/4, fmap2/4> over channels,
+    mirroring /root/reference/dbaf/modules/corr.py:63-71.
+    """
+    E, C, H, W = fmap1.shape
+    a = fmap1.reshape(E, C, H * W) / 4.0
+    b = fmap2.reshape(E, C, H * W) / 4.0
+    vol = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return vol.reshape(E, H * W, H, W).astype(fmap1.dtype)
+
+
+def build_pyramid(
+    volume: jnp.ndarray, num_levels: int = DEFAULT_LEVELS
+) -> List[jnp.ndarray]:
+    """Average-pool pyramid over the *target*-frame dims.
+
+    volume: (E, P, H2, W2) -> list of (E, P, H2/2^l, W2/2^l).
+    """
+    pyramid = [volume]
+    v = volume
+    for _ in range(num_levels - 1):
+        E, P, H2, W2 = v.shape
+        v = v.reshape(E, P, H2 // 2, 2, W2 // 2, 2).mean(axis=(3, 5))
+        pyramid.append(v)
+    return pyramid
+
+
+def _tri_kernel(coord: jnp.ndarray, size: int, radius: int) -> jnp.ndarray:
+    """Triangular interpolation weights.
+
+    coord: (...,) fractional sample centers; returns (..., 2r+1, size) with
+    row ``k`` holding bilinear weights for sample position ``coord - r + k``.
+    """
+    taps = coord[..., None, None] + (
+        jnp.arange(2 * radius + 1, dtype=coord.dtype)[:, None] - radius
+    )
+    grid = jnp.arange(size, dtype=coord.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(grid - taps))
+
+
+def lookup_level(
+    volume: jnp.ndarray, coords: jnp.ndarray, radius: int = DEFAULT_RADIUS
+) -> jnp.ndarray:
+    """Windowed bilinear lookup at one pyramid level (separable matmuls).
+
+    volume: (E, P, H2, W2); coords: (E, P, 2) as (x, y) in this level's
+    scale.  Returns (E, P, (2r+1)^2) with channel = a*(2r+1)+b, a = x offset.
+    """
+    E, P, H2, W2 = volume.shape
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+
+    ky = _tri_kernel(y0, H2, radius)  # (E, P, R, H2)
+    kx = _tri_kernel(x0, W2, radius)  # (E, P, R, W2)
+
+    compute_dtype = volume.dtype
+    ky = ky.astype(compute_dtype)
+    kx = kx.astype(compute_dtype)
+
+    # contract H2: (E,P,R,H2) x (E,P,H2,W2) -> (E,P,R,W2)
+    tmp = jax.lax.dot_general(
+        ky,
+        volume,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    # contract W2: (E,P,Ra,W2) x (E,P,Rb,W2) -> (E,P,Ra,Rb) ... note order:
+    # out[a,b] needs x-kernel row a against y-contracted row b.
+    out = jax.lax.dot_general(
+        kx,
+        tmp.astype(compute_dtype),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (E, P, Ra, Rb)
+    R = 2 * radius + 1
+    return out.reshape(E, P, R * R)
+
+
+def lookup_level_gather(
+    volume: jnp.ndarray, coords: jnp.ndarray, radius: int = DEFAULT_RADIUS
+) -> jnp.ndarray:
+    """Gather-based reference lookup (same contract as :func:`lookup_level`).
+
+    Kept as a numerically-identical fallback/oracle; the separable-matmul
+    path is the production kernel on TPU.
+    """
+    E, P, H2, W2 = volume.shape
+    R = 2 * radius + 1
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None, None]
+    dy = (y0 - fy)[..., None, None]
+
+    offs = jnp.arange(R)
+    xi = fx[..., None, None] + (offs - radius)[None, None, :, None]
+    yi = fy[..., None, None] + (offs - radius)[None, None, None, :]
+    xi = jnp.broadcast_to(xi, x0.shape + (R, R))
+    yi = jnp.broadcast_to(yi, y0.shape + (R, R))
+
+    vol_flat = volume.reshape(E, P, H2 * W2)
+
+    def tap(ddx, ddy):
+        xq = xi + ddx
+        yq = yi + ddy
+        inb = (xq >= 0) & (xq < W2) & (yq >= 0) & (yq < H2)
+        idx = (
+            jnp.clip(yq, 0, H2 - 1).astype(jnp.int32) * W2
+            + jnp.clip(xq, 0, W2 - 1).astype(jnp.int32)
+        )
+        vals = jnp.take_along_axis(
+            vol_flat, idx.reshape(E, P, R * R), axis=2
+        ).reshape(E, P, R, R)
+        return jnp.where(inb, vals, 0.0)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (
+        w00 * tap(0, 0) + w10 * tap(1, 0) + w01 * tap(0, 1) + w11 * tap(1, 1)
+    )
+    return out.reshape(E, P, R * R).astype(jnp.float32)
+
+
+def lookup_pyramid(
+    pyramid: Sequence[jnp.ndarray],
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    impl: str = "separable",
+) -> jnp.ndarray:
+    """Full multi-level lookup.
+
+    pyramid: list of (E, P, H2/2^l, W2/2^l); coords: (E, H, W, 2) pixel
+    coords in level-0 scale (P == H*W).  Returns (E, L*(2r+1)^2, H, W) in the
+    reference's channel order (level-major, x-offset-major).
+    """
+    E, H, W, _ = coords.shape
+    P = H * W
+    flat = coords.reshape(E, P, 2)
+    fn = lookup_level if impl == "separable" else lookup_level_gather
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        outs.append(fn(vol, flat / (2.0**lvl), radius))
+    out = jnp.concatenate(outs, axis=-1)  # (E, P, L*R^2)
+    return out.transpose(0, 2, 1).reshape(E, -1, H, W)
+
+
+class CorrPyramid:
+    """Convenience wrapper holding a pyramid for a fixed set of edges.
+
+    The TPU analogue of the reference ``CorrBlock``
+    (/root/reference/dbaf/modules/corr.py:23-60); edge-set mutation
+    (cat/index) is done functionally by the graph manager on padded arrays.
+    """
+
+    def __init__(self, fmap1, fmap2, num_levels=DEFAULT_LEVELS, radius=DEFAULT_RADIUS):
+        self.num_levels = num_levels
+        self.radius = radius
+        vol = build_volume(fmap1, fmap2)
+        self.pyramid = build_pyramid(vol, num_levels)
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        return lookup_pyramid(self.pyramid, coords, self.radius)

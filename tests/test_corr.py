@@ -1,0 +1,105 @@
+"""Correlation tests: separable-matmul lookup vs a literal numpy port of the
+reference CUDA kernel semantics (/root/reference/src/correlation_kernels.cu:19-70).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dbaf_tpu.ops import corr
+
+
+def cuda_lookup_oracle(volume, coords, r):
+    """Literal re-statement of corr_index_forward_kernel in numpy.
+
+    volume: (E, P, H2, W2) with P = h1*w1 source pixels; coords: (E, P, 2)
+    (x, y).  Returns (E, P, (2r+1)^2), channel = a*(2r+1)+b with a = x-offset
+    index i-?? following the kernel's corr[n][i][j] layout.
+    """
+    E, P, H2, W2 = volume.shape
+    rd = 2 * r + 1
+    out = np.zeros((E, P, rd, rd), dtype=np.float64)
+    for e in range(E):
+        for p in range(P):
+            x0, y0 = coords[e, p]
+            fx, fy = np.floor(x0), np.floor(y0)
+            dx, dy = x0 - fx, y0 - fy
+            for i in range(rd + 1):
+                for j in range(rd + 1):
+                    x1 = int(fx) - r + i
+                    y1 = int(fy) - r + j
+                    if 0 <= y1 < H2 and 0 <= x1 < W2:
+                        s = volume[e, p, y1, x1]
+                        if i > 0 and j > 0:
+                            out[e, p, i - 1, j - 1] += s * dx * dy
+                        if i > 0 and j < rd:
+                            out[e, p, i - 1, j] += s * dx * (1 - dy)
+                        if i < rd and j > 0:
+                            out[e, p, i, j - 1] += s * (1 - dx) * dy
+                        if i < rd and j < rd:
+                            out[e, p, i, j] += s * (1 - dx) * (1 - dy)
+    return out.reshape(E, P, rd * rd)
+
+
+def test_lookup_matches_cuda_oracle(rng):
+    E, H2, W2 = 2, 8, 10
+    P = 6
+    r = 3
+    vol = rng.normal(size=(E, P, H2, W2)).astype(np.float32)
+    # coords spread inside, near edges, and out of bounds
+    coords = np.stack(
+        [
+            rng.uniform(-2, W2 + 1, size=(E, P)),
+            rng.uniform(-2, H2 + 1, size=(E, P)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    ref = cuda_lookup_oracle(vol, coords, r)
+    out_sep = np.asarray(corr.lookup_level(jnp.asarray(vol), jnp.asarray(coords), r))
+    out_gat = np.asarray(
+        corr.lookup_level_gather(jnp.asarray(vol), jnp.asarray(coords), r)
+    )
+    np.testing.assert_allclose(out_sep, ref, atol=1e-4)
+    np.testing.assert_allclose(out_gat, ref, atol=1e-4)
+
+
+def test_volume_is_scaled_dot(rng):
+    E, C, H, W = 2, 16, 4, 6
+    f1 = rng.normal(size=(E, C, H, W)).astype(np.float32)
+    f2 = rng.normal(size=(E, C, H, W)).astype(np.float32)
+    vol = np.asarray(corr.build_volume(jnp.asarray(f1), jnp.asarray(f2)))
+    ref = np.einsum("ecp,ecq->epq", f1.reshape(E, C, -1), f2.reshape(E, C, -1)) / 16.0
+    np.testing.assert_allclose(vol.reshape(E, H * W, H * W), ref, atol=1e-4)
+    assert vol.shape == (E, H * W, H, W)
+
+
+def test_pyramid_average_pools(rng):
+    E, P = 1, 3
+    vol = rng.normal(size=(E, P, 8, 8)).astype(np.float32)
+    pyr = corr.build_pyramid(jnp.asarray(vol), num_levels=3)
+    assert pyr[1].shape == (E, P, 4, 4)
+    assert pyr[2].shape == (E, P, 2, 2)
+    ref = vol.reshape(E, P, 4, 2, 4, 2).mean(axis=(3, 5))
+    np.testing.assert_allclose(np.asarray(pyr[1]), ref, atol=1e-5)
+
+
+def test_pyramid_lookup_channel_order(rng):
+    """Level-major, x-offset-major channel order (matches reference)."""
+    E, H, W = 1, 4, 4
+    P = H * W
+    vol = rng.normal(size=(E, P, H, W)).astype(np.float32)
+    pyr = corr.build_pyramid(jnp.asarray(vol), num_levels=2)
+    coords = jnp.asarray(
+        np.tile(np.stack(np.meshgrid(np.arange(W), np.arange(H))[::1], -1).reshape(1, H, W, 2), (E, 1, 1, 1)),
+        dtype=jnp.float32,
+    )
+    # grid coords: (x, y)
+    grid = np.stack(np.meshgrid(np.arange(W), np.arange(H)), axis=-1).astype(np.float32)
+    coords = jnp.asarray(grid[None])
+    out = np.asarray(corr.lookup_pyramid(pyr, coords, radius=1))
+    assert out.shape == (E, 2 * 9, H, W)
+    # level 0, offset (a=0 -> dx=-1, b=0 -> dy=-1): at pixel (1,1) should equal vol[p=(1,1)], y=0, x=0
+    p = 1 * W + 1
+    assert np.isclose(out[0, 0, 1, 1], vol[0, p, 0, 0], atol=1e-4)
+    # center tap (a=1,b=1) -> channel 1*3+1 = 4: equals vol at the pixel itself
+    assert np.isclose(out[0, 4, 1, 1], vol[0, p, 1, 1], atol=1e-4)
