@@ -1,0 +1,91 @@
+"""System benchmark: keyframe throughput of the full VIO hot path.
+
+Drives the real streaming system (feature extraction -> motion filter ->
+covisibility graph -> fused update kernel: correlation + ConvGRU + dense BA)
+at the reference's TUM-VI operating point (384x512 images, 48x64 feature
+grid, max_factors=48, iters1=4/iters2=2 -- batch_tumvi.py:28-41) on synthetic
+frames, and reports steady-state keyframes/second.
+
+Baseline: the reference claims realtime operation on a desktop GPU
+(README.md:15) with ~60 ms edge management + multiple update/BA rounds per
+keyframe (dbaf_frontend.py:222,232); its keyframe rate is ~10 kf/s at this
+operating point.  vs_baseline = measured / 10.0.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_KEYFRAMES_PER_SEC = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dbaf_tpu.models import DroidNet
+    from dbaf_tpu.slam.system import DBAFusion, _model_fns
+    from dbaf_tpu.utils.config import tumvi_config
+
+    cfg = tumvi_config()
+    cfg.frontend.filter_thresh = -1.0  # admit every frame (pure throughput)
+    cfg.frontend.rollup_start = 40
+    cfg.frontend.rollup_shift = 15
+    cfg.frontend.keyframe_thresh = -1.0  # never cull
+
+    model = DroidNet()
+    rng = np.random.default_rng(0)
+    ht, wd = cfg.image_size
+    probe = jnp.zeros((1, ht, wd, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), probe, method=model.extract_features
+    )["params"]
+    uparams = model.init(
+        jax.random.PRNGKey(1), None,
+        jnp.zeros((1, ht // 8, wd // 8, 128), jnp.bfloat16),
+        jnp.zeros((1, ht // 8, wd // 8, 128), jnp.bfloat16),
+        jnp.zeros((1, ht // 8, wd // 8, 196), jnp.bfloat16),
+        jnp.zeros((1, ht // 8, wd // 8, 4), jnp.bfloat16),
+    )["params"]
+    params = {**params, **uparams}
+
+    system = DBAFusion(cfg, params=params)
+    intr = np.asarray([460.0, 460.0, wd / 2, ht / 2], dtype=np.float32)
+
+    # synthetic frames: moving textured pattern (content only matters for
+    # producing non-degenerate activations)
+    base = rng.integers(0, 255, size=(ht + 64, wd + 64, 3)).astype(np.float32)
+
+    def frame(k):
+        ox, oy = (3 * k) % 64, (2 * k) % 64
+        return base[oy : oy + ht, ox : ox + wd]
+
+    n_warm, n_meas = 14, 20
+    for k in range(n_warm):
+        system.track(float(k), frame(k), intrinsics=intr)
+
+    t0 = time.time()
+    for k in range(n_warm, n_warm + n_meas):
+        system.track(float(k), frame(k), intrinsics=intr)
+    jax.block_until_ready(system.video.poses)
+    dt = time.time() - t0
+
+    kfs = n_meas / dt
+    print(
+        json.dumps(
+            {
+                "metric": "keyframes_per_sec",
+                "value": round(kfs, 3),
+                "unit": "keyframes/s",
+                "vs_baseline": round(kfs / REFERENCE_KEYFRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

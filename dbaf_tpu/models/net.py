@@ -265,6 +265,24 @@ class DroidNet(nn.Module):
         net, inp = ctx[..., :128], ctx[..., 128:]
         return fmaps, jnp.tanh(net), nn.relu(inp)
 
+    def features_only(self, images):
+        """fnet only (per-frame motion-filter path, motion_filter.py:45-47)."""
+        images = images[..., ::-1] / 255.0
+        mean = jnp.asarray(IMAGE_MEAN, dtype=images.dtype)
+        std = jnp.asarray(IMAGE_STD, dtype=images.dtype)
+        return self.fnet(((images - mean) / std).astype(self.dtype))
+
+    def context_only(self, images):
+        """cnet only (keyframe admission path, motion_filter.py:33-36)."""
+        images = images[..., ::-1] / 255.0
+        mean = jnp.asarray(IMAGE_MEAN, dtype=images.dtype)
+        std = jnp.asarray(IMAGE_STD, dtype=images.dtype)
+        ctx = self.cnet(((images - mean) / std).astype(self.dtype))
+        return jnp.tanh(ctx[..., :128]), nn.relu(ctx[..., 128:])
+
+    def update_step(self, net, inp, corr, flow=None):
+        return self.update(net, inp, corr, flow)
+
     def __call__(self, images, net, inp, corr, flow=None):
         """Minimal apply surface: feature extraction or one update step are
         invoked via ``method=``; this default wires the update op."""

@@ -1,0 +1,576 @@
+"""Covisibility graph: edge lifecycle + the fused per-keyframe update kernel.
+
+Redesign of /root/reference/dbaf/covisible_graph.py:15-441 for TPU execution:
+
+* edge sets are **fixed-capacity padded device arrays** with a host-side
+  (numpy) index view; membership changes compile to one jitted "rebuild"
+  permutation-gather instead of dynamic concatenation;
+* correlation volumes are **recomputed from keyframe features inside the
+  update step** (volume build is one batched MXU matmul) rather than cached
+  per edge -- recompute beats storing 2+ GB of pyramids on TPU;
+* one ``update()`` call is ONE jit region: reproject -> correlation lookup
+  -> ConvGRU -> confidence heuristics -> dense BA iterations -> state
+  write-back.  The reference spreads this across dozens of kernel launches
+  and CPU round trips (covisible_graph.py:213-342).
+
+Edge-selection policy (proximity + NMS + skip edges) runs on host numpy over
+a device-computed distance matrix, mirroring the reference's CPU loops
+(covisible_graph.py:357-441) -- it is O(window^2) control logic, not compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import corr as corr_ops
+from ..ops import dba
+from ..ops import lie
+from ..ops import projective as pj
+from ..utils.config import DBAFusionConfig
+from .video import DepthVideo
+
+
+class EdgeArrays(NamedTuple):
+    net: jnp.ndarray     # (E_CAP, H, W, 128) GRU hidden per edge (bf16)
+    target: jnp.ndarray  # (E_CAP, H, W, 2)
+    weight: jnp.ndarray  # (E_CAP, H, W, 2)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _rebuild_edges(
+    net, target, weight, perm, is_new, ii, jj, poses, disps, intrinsics, nets_buf
+):
+    """Permute surviving edges into compact slots and initialize new ones.
+
+    perm: (E_CAP,) old slot per new slot (clipped, gated by perm_valid);
+    is_new: (E_CAP,) bool; new edges get net=nets_buf[ii], target=reproject,
+    weight=0 (covisible_graph.py:124-149).
+    """
+    perm_c = jnp.clip(perm, 0, net.shape[0] - 1)
+    net = net[perm_c]
+    target = target[perm_c]
+    weight = weight[perm_c]
+
+    coords, _ = pj.projective_transform(poses, disps, intrinsics, ii, jj)
+    new_net = nets_buf[ii]
+    net = jnp.where(is_new[:, None, None, None], new_net, net)
+    target = jnp.where(is_new[:, None, None, None], coords, target)
+    weight = jnp.where(is_new[:, None, None, None], 0.0, weight)
+    return EdgeArrays(net, target, weight)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _rebuild_inactive(
+    t_inac, w_inac, perm_old, from_active, act_idx, target, weight
+):
+    """Compact the inactive store and absorb newly retired edges.
+
+    perm_old: (I_CAP,) source slot in the old inactive arrays (or any value
+    when from_active); from_active: (I_CAP,) bool -- take from the active
+    arrays at act_idx instead.
+    """
+    po = jnp.clip(perm_old, 0, t_inac.shape[0] - 1)
+    pa = jnp.clip(act_idx, 0, target.shape[0] - 1)
+    sel = from_active[:, None, None, None]
+    t_new = jnp.where(sel, target[pa], t_inac[po])
+    w_new = jnp.where(sel, weight[pa], w_inac[po])
+    return t_new, w_new
+
+
+class UpdateResult(NamedTuple):
+    edges: EdgeArrays
+    poses: jnp.ndarray
+    disps: jnp.ndarray
+    edge_conf: jnp.ndarray  # (E_CAP,) mean confidence per active edge
+
+
+def make_update_kernel(
+    cfg: DBAFusionConfig,
+    update_fn: Callable,
+    e_cap: int,
+    i_cap: int,
+):
+    """Build the fused one-jit update step.
+
+    ``update_fn(net_bf16, inp_bf16, corr_bf16, motn_bf16) -> (net, delta,
+    weight)`` is the GRU update operator (or a test oracle).
+    """
+    P = cfg.ba.window
+    EP = cfg.ba.eps_damping
+    far_thresh = cfg.graph.far_threshold
+    mask_thresh = cfg.graph.mask_threshold
+    radius = 3
+
+    def kernel(
+        # buffers
+        poses, disps, damping, intrinsics, fmaps_buf, inps_buf,
+        # active edges
+        e_net, e_target, e_weight, ii, jj, e_mask,
+        # inactive edges
+        it_target, it_weight, ii_i, jj_i, i_mask,
+        # scalars
+        t0, t1, s0, imu_enabled,
+        # opaque pytree forwarded to update_fn (test oracles, extra context)
+        aux,
+        # static
+        iters: int, use_inactive: bool,
+    ):
+        # ---- reproject active edges
+        coords1, _valid = pj.projective_transform(poses, disps, intrinsics, ii, jj)
+        grid = pj.coords_grid(coords1.shape[1], coords1.shape[2])
+        motn = jnp.concatenate(
+            [coords1 - grid, e_target - coords1], axis=-1
+        ).clip(-64.0, 64.0)
+
+        # ---- correlation: rebuild pyramid from features, lookup at coords1
+        c = (ii == jj).astype(jnp.int32)  # stereo second cam unsupported yet
+        f1 = fmaps_buf[ii].transpose(0, 3, 1, 2)  # (E, 128, H, W)
+        f2 = fmaps_buf[jj].transpose(0, 3, 1, 2)
+        vol = corr_ops.build_volume(f1, f2)
+        pyramid = corr_ops.build_pyramid(vol)
+        corr = corr_ops.lookup_pyramid(pyramid, coords1, radius)  # (E,196,H,W)
+        corr = corr.transpose(0, 2, 3, 1)
+
+        # ---- GRU update
+        inp_e = inps_buf[ii]
+        aux_full = dict(aux)
+        aux_full.update(coords1=coords1, poses=poses, disps=disps)
+        net_new, delta, weight_up = update_fn(
+            e_net, inp_e.astype(e_net.dtype), corr.astype(e_net.dtype),
+            motn.astype(e_net.dtype), ii, jj, aux_full,
+        )
+        target = coords1 + delta.astype(jnp.float32)
+        weight = weight_up.astype(jnp.float32)
+        # keep padded slots inert
+        m4 = e_mask[:, None, None, None]
+        target = jnp.where(m4, target, e_target)
+        weight = jnp.where(m4, weight, 0.0)
+        net_new = jnp.where(m4, net_new, e_net)
+
+        edge_conf = jnp.mean(weight, axis=(1, 2, 3))
+
+        # ---- combine with inactive edges for BA
+        if use_inactive:
+            keep_i = i_mask & (ii_i >= t0 - cfg.graph.inac_range) & (
+                jj_i >= t0 - cfg.graph.inac_range
+            )
+            ii_all = jnp.concatenate([ii_i, ii])
+            jj_all = jnp.concatenate([jj_i, jj])
+            t_all = jnp.concatenate([it_target, target], axis=0)
+            w_all = jnp.concatenate([it_weight, weight], axis=0)
+            m_all = jnp.concatenate([keep_i, e_mask])
+        else:
+            ii_all, jj_all, t_all, w_all, m_all = ii, jj, target, weight, e_mask
+
+        # ---- confidence heuristics (covisible_graph.py:309-328)
+        wmul = jnp.ones(ii_all.shape, dtype=jnp.float32)
+        imu_f = imu_enabled.astype(jnp.float32)
+        # newest-frame down-weights (always on)
+        max_i = jnp.max(jnp.where(m_all, ii_all, -1))
+        max_j = jnp.max(jnp.where(m_all, jj_all, -1))
+        wmul = wmul * jnp.where(ii_all == max_i, 0.1, 1.0)
+        wmul = wmul * jnp.where(jj_all == max_j, 0.25, 1.0)
+        # short-baseline down-weight (imu mode)
+        if mask_thresh > 0:
+            tnorm = jnp.linalg.norm(
+                lie.se3_rel(poses[jj_all], poses[ii_all])[:, :3], axis=-1
+            )
+            wmul = wmul * jnp.where(
+                (tnorm < mask_thresh) & (imu_f > 0), 1e-3, 1.0
+            )
+        w_ba = w_all * wmul[:, None, None, None]
+        if far_thresh > 0:
+            pixmask = (disps[ii_all] < far_thresh)[..., None] & (imu_f > 0)
+            w_ba = jnp.where(pixmask, w_ba * 1e-3, w_ba)
+
+        # ---- window-local BA
+        poses_w = jax.lax.dynamic_slice(poses, (s0, 0), (P, 7))
+        disps_w = jax.lax.dynamic_slice(
+            disps, (s0, 0, 0), (P,) + disps.shape[1:]
+        )
+        damping_w = jax.lax.dynamic_slice(
+            damping, (s0, 0, 0), (P,) + damping.shape[1:]
+        )
+        eta = 0.2 * damping_w.reshape(P, -1) + EP
+
+        in_window = (ii_all >= s0) & (jj_all >= s0)
+        m_ba = m_all & in_window
+        ii_w = jnp.clip(ii_all - s0, 0, P - 1)
+        jj_w = jnp.clip(jj_all - s0, 0, P - 1)
+
+        state = dba.ba(
+            poses_w, disps_w, intrinsics, t_all, w_ba, eta, ii_w, jj_w, m_ba,
+            t0 - s0, t1 - s0, iterations=iters,
+            lm=cfg.ba.lm, ep=cfg.ba.ep,
+        )
+
+        poses = jax.lax.dynamic_update_slice(poses, state.poses, (s0, 0))
+        disps = jax.lax.dynamic_update_slice(disps, state.disps, (s0, 0, 0))
+
+        return UpdateResult(
+            edges=EdgeArrays(net_new, target, weight),
+            poses=poses,
+            disps=disps,
+            edge_conf=edge_conf,
+        )
+
+    # donate: poses(0), disps(1), e_net(6), e_target(7), e_weight(8)
+    return jax.jit(
+        kernel,
+        static_argnames=("iters", "use_inactive"),
+        donate_argnums=(0, 1, 6, 7, 8),
+    )
+
+
+class CovisibleGraph:
+    """Host-side edge manager around the fused device update kernel."""
+
+    def __init__(
+        self,
+        video: DepthVideo,
+        update_fn: Callable,
+        cfg: DBAFusionConfig,
+    ):
+        self.video = video
+        self.cfg = cfg
+        self.e_cap = cfg.graph.edge_capacity
+        self.i_cap = cfg.graph.inactive_capacity
+        h8, w8 = video.h8, video.w8
+
+        self.ii = np.zeros(0, dtype=np.int64)
+        self.jj = np.zeros(0, dtype=np.int64)
+        self.age = np.zeros(0, dtype=np.int64)
+        self.ii_bad = np.zeros(0, dtype=np.int64)
+        self.jj_bad = np.zeros(0, dtype=np.int64)
+        self.ii_inac = np.zeros(0, dtype=np.int64)
+        self.jj_inac = np.zeros(0, dtype=np.int64)
+
+        self.edges = EdgeArrays(
+            net=jnp.zeros((self.e_cap, h8, w8, 128), dtype=jnp.bfloat16),
+            target=jnp.zeros((self.e_cap, h8, w8, 2), dtype=jnp.float32),
+            weight=jnp.zeros((self.e_cap, h8, w8, 2), dtype=jnp.float32),
+        )
+        self.t_inac = jnp.zeros((self.i_cap, h8, w8, 2), dtype=jnp.float32)
+        self.w_inac = jnp.zeros((self.i_cap, h8, w8, 2), dtype=jnp.float32)
+
+        self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
+        self.last_conf = np.zeros(self.e_cap, dtype=np.float32)
+        self.aux = {}  # traced pytree forwarded to update_fn each call
+
+    # ------------------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return len(self.ii)
+
+    def _padded(self, arr, fill=0):
+        out = np.full(self.e_cap, fill, dtype=np.int32)
+        out[: len(arr)] = arr
+        return jnp.asarray(out)
+
+    def _padded_inac(self, arr, fill=0):
+        out = np.full(self.i_cap, fill, dtype=np.int32)
+        out[: len(arr)] = arr
+        return jnp.asarray(out)
+
+    # ------------------------------------------------------------------
+    def add_factors(self, ii_new, jj_new, remove: bool = False):
+        """Dedup, enforce the budget, and initialize new edges
+        (covisible_graph.py:103-149)."""
+        ii_new = np.asarray(ii_new, dtype=np.int64)
+        jj_new = np.asarray(jj_new, dtype=np.int64)
+
+        existing = set(zip(self.ii.tolist(), self.jj.tolist())) | set(
+            zip(self.ii_inac.tolist(), self.jj_inac.tolist())
+        )
+        keep = []
+        seen = set()
+        for k, (a, b) in enumerate(zip(ii_new.tolist(), jj_new.tolist())):
+            if (a, b) not in existing and (a, b) not in seen:
+                keep.append(k)
+                seen.add((a, b))
+        if not keep:
+            return
+        ii_new, jj_new = ii_new[keep], jj_new[keep]
+
+        budget = self.cfg.graph.max_factors
+        if (
+            remove
+            and budget > 0
+            and self.n + len(ii_new) > budget
+            and self.n > 0
+        ):
+            # evict oldest (largest-age) edges beyond the budget
+            order = np.argsort(self.age)  # ascending: rank 0 = newest
+            ranks = np.empty(self.n, dtype=np.int64)
+            ranks[order] = np.arange(self.n)
+            mask = ranks >= max(budget - len(ii_new), 0)
+            self.rm_factors(mask, store=True)
+
+        m = len(ii_new)
+        if self.n + m > self.e_cap:
+            m = self.e_cap - self.n
+            ii_new, jj_new = ii_new[:m], jj_new[:m]
+            if m <= 0:
+                return
+
+        n_old = self.n
+        self.ii = np.concatenate([self.ii, ii_new])
+        self.jj = np.concatenate([self.jj, jj_new])
+        self.age = np.concatenate([self.age, np.zeros(m, dtype=np.int64)])
+
+        perm = np.arange(self.e_cap, dtype=np.int32)
+        is_new = np.zeros(self.e_cap, dtype=bool)
+        is_new[n_old : n_old + m] = True
+        self._apply_rebuild(perm, is_new)
+
+    def _apply_rebuild(self, perm, is_new):
+        self.edges = _rebuild_edges(
+            self.edges.net,
+            self.edges.target,
+            self.edges.weight,
+            jnp.asarray(perm),
+            jnp.asarray(is_new),
+            self._padded(self.ii),
+            self._padded(self.jj),
+            self.video.poses,
+            self.video.disps,
+            self.video.intrinsics,
+            self.video.nets.astype(jnp.bfloat16),
+        )
+
+    # ------------------------------------------------------------------
+    def rm_factors(self, mask: np.ndarray, store: bool = False):
+        """Drop masked active edges, optionally retiring to the inactive
+        store (covisible_graph.py:152-176)."""
+        mask = np.asarray(mask, dtype=bool)
+        if mask.sum() == 0:
+            return
+        drop_idx = np.nonzero(mask)[0]
+        keep_idx = np.nonzero(~mask)[0]
+
+        if store:
+            n_i = len(self.ii_inac)
+            n_add = len(drop_idx)
+            # evict oldest inactive entries if over capacity
+            overflow = max(0, n_i + n_add - self.i_cap)
+            old_keep = np.arange(overflow, n_i)
+            self.ii_inac = np.concatenate([self.ii_inac[old_keep], self.ii[drop_idx]])
+            self.jj_inac = np.concatenate([self.jj_inac[old_keep], self.jj[drop_idx]])
+            perm_old = np.zeros(self.i_cap, dtype=np.int32)
+            from_act = np.zeros(self.i_cap, dtype=bool)
+            act_idx = np.zeros(self.i_cap, dtype=np.int32)
+            nk = len(old_keep)
+            perm_old[:nk] = old_keep
+            from_act[nk : nk + n_add] = True
+            act_idx[nk : nk + n_add] = drop_idx
+            self.t_inac, self.w_inac = _rebuild_inactive(
+                self.t_inac, self.w_inac,
+                jnp.asarray(perm_old), jnp.asarray(from_act),
+                jnp.asarray(act_idx),
+                self.edges.target, self.edges.weight,
+            )
+
+        self.ii = self.ii[keep_idx]
+        self.jj = self.jj[keep_idx]
+        self.age = self.age[keep_idx]
+        perm = np.arange(self.e_cap, dtype=np.int32)
+        perm[: len(keep_idx)] = keep_idx
+        self._apply_rebuild(perm, np.zeros(self.e_cap, dtype=bool))
+
+    def filter_edges(self):
+        """Quarantine low-confidence long-range edges (covisible_graph.py:88-95)."""
+        conf = self.last_conf[: self.n]
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        if mask.any():
+            self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+            self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+            self.rm_factors(mask, store=False)
+
+    def rm_keyframe(self, ix: int):
+        """Remove keyframe ix from the video and re-index all edge stores
+        (covisible_graph.py:180-211)."""
+        self.video.rm_keyframe(ix)
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1, self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1, self.jj_inac)
+        if m.any():
+            keep = np.nonzero(~m)[0]
+            self.ii_inac = self.ii_inac[keep]
+            self.jj_inac = self.jj_inac[keep]
+            perm_old = np.zeros(self.i_cap, dtype=np.int32)
+            perm_old[: len(keep)] = keep
+            self.t_inac, self.w_inac = _rebuild_inactive(
+                self.t_inac, self.w_inac,
+                jnp.asarray(perm_old),
+                jnp.zeros(self.i_cap, dtype=bool),
+                jnp.zeros(self.i_cap, dtype=jnp.int32),
+                self.edges.target, self.edges.weight,
+            )
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+
+    def shift_indices(self, roll: int):
+        """Rollup re-indexing (dbaf_frontend.py:106-114)."""
+        self.ii -= roll
+        self.jj -= roll
+        self.ii_bad -= roll
+        self.jj_bad -= roll
+        self.ii_inac -= roll
+        self.jj_inac -= roll
+        keep = np.nonzero((self.ii_inac >= 0) & (self.jj_inac >= 0))[0]
+        if len(keep) != len(self.ii_inac):
+            self.ii_inac = self.ii_inac[keep]
+            self.jj_inac = self.jj_inac[keep]
+            perm_old = np.zeros(self.i_cap, dtype=np.int32)
+            perm_old[: len(keep)] = keep
+            self.t_inac, self.w_inac = _rebuild_inactive(
+                self.t_inac, self.w_inac,
+                jnp.asarray(perm_old),
+                jnp.zeros(self.i_cap, dtype=bool),
+                jnp.zeros(self.i_cap, dtype=jnp.int32),
+                self.edges.target, self.edges.weight,
+            )
+        bad_keep = (self.ii_bad >= 0) & (self.jj_bad >= 0)
+        self.ii_bad = self.ii_bad[bad_keep]
+        self.jj_bad = self.jj_bad[bad_keep]
+        # active edges should all stay in range (caller manages)
+
+    # ------------------------------------------------------------------
+    def update(
+        self,
+        t0: Optional[int] = None,
+        t1: Optional[int] = None,
+        iters: int = 2,
+        use_inactive: bool = False,
+    ):
+        """One fused update round (covisible_graph.py:213-342)."""
+        if self.n == 0:
+            return
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = int(max(self.ii.max(), self.jj.max())) + 1
+
+        P = self.cfg.ba.window
+        s0 = max(0, t1 - P)
+
+        e_mask = np.zeros(self.e_cap, dtype=bool)
+        e_mask[: self.n] = True
+        i_mask = np.zeros(self.i_cap, dtype=bool)
+        i_mask[: len(self.ii_inac)] = True
+
+        res = self._kernel(
+            self.video.poses, self.video.disps, self.video.damping,
+            self.video.intrinsics, self.video.fmaps, self.video.inps,
+            self.edges.net, self.edges.target, self.edges.weight,
+            self._padded(self.ii), self._padded(self.jj), jnp.asarray(e_mask),
+            self.t_inac, self.w_inac,
+            self._padded_inac(self.ii_inac), self._padded_inac(self.jj_inac),
+            jnp.asarray(i_mask),
+            jnp.asarray(t0, dtype=jnp.int32), jnp.asarray(t1, dtype=jnp.int32),
+            jnp.asarray(s0, dtype=jnp.int32),
+            jnp.asarray(self.video.imu_enabled, dtype=bool),
+            self.aux,
+            iters=iters, use_inactive=use_inactive,
+        )
+        self.edges = res.edges
+        self.video.poses = res.poses
+        self.video.disps = res.disps
+        self.last_conf = np.asarray(res.edge_conf)
+        self.age += 1
+
+    # ------------------------------------------------------------------
+    def add_neighborhood_factors(self, t0: int, t1: int, r: int = 3):
+        """Dense all-pairs edges within radius r (covisible_graph.py:344-354)."""
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1), indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(
+        self,
+        t0: int = 0,
+        t1: int = 0,
+        rad: int = 2,
+        nms: int = 2,
+        beta: float = 0.25,
+        thresh: float = 16.0,
+        remove: bool = False,
+    ):
+        """Distance-ranked edge selection with NMS suppression, forced radius
+        edges, and opportunistic skip edges (covisible_graph.py:357-441)."""
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        cc = ii.shape[0]
+
+        skip = list(self.cfg.graph.skip_edge)
+        if skip and (ii.max() - ii.min() == self.cfg.graph.frontend_window - 1):
+            jj_add = ii.min() + np.asarray(skip, dtype=np.int64)
+            jj_add = jj_add[jj_add > 0]
+            ii_add = np.full_like(jj_add, ii.max())
+            ii = np.concatenate([ii, ii_add])
+            jj = np.concatenate([jj, jj_add])
+
+        d = self.video.distance(ii, jj, beta=beta).astype(np.float64)
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def suppress(i, j):
+            r_n = max(min(abs(int(i) - int(j)) - 2, nms), 0)
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= r_n:
+                        i1, j1 = int(i) + di, int(j) + dj
+                        if t0 <= i1 < t and t1 <= j1 < t:
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        for i, j in zip(
+            np.concatenate([self.ii, self.ii_bad, self.ii_inac]),
+            np.concatenate([self.jj, self.jj_bad, self.jj_inac]),
+        ):
+            suppress(i, j)
+
+        es = []
+        for i in range(t0, t):
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                if (i - t0) * (t - t1) + (j - t1) >= 0:
+                    d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        for k in np.argsort(d):
+            if k >= cc or d[k] > thresh:
+                continue
+            if len(es) > self.cfg.graph.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        # opportunistic best skip edge (covisible_graph.py:434-438)
+        if ii.shape[0] > cc:
+            sub = d[cc : ii.shape[0]]
+            k = int(np.argmin(sub))
+            if sub[k] < thresh and sub[k] > 0:
+                es.append((int(ii[cc + k]), int(jj[cc + k])))
+                es.append((int(jj[cc + k]), int(ii[cc + k])))
+
+        if es:
+            ii_new, jj_new = np.asarray(es, dtype=np.int64).T
+            self.add_factors(ii_new, jj_new, remove)

@@ -1,0 +1,124 @@
+"""Per-frame keyframe admission filter.
+
+Redesign of /root/reference/dbaf/motion_filter.py:12-93: every incoming frame
+runs the feature encoder; a single correlation + update-operator step against
+the last keyframe estimates flow magnitude, gating admission at
+``filter_thresh`` (default 2.4 px).  All three stages are separate jits so
+non-keyframes cost exactly one encoder pass + one gate pass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import corr as corr_ops
+from ..ops import lie, projective as pj
+from ..utils.config import DBAFusionConfig
+from .video import DepthVideo
+
+
+def make_gate(update_fn: Callable):
+    """Build the jitted flow-magnitude gate.
+
+    update_fn has the graph-kernel signature
+    (net, inp, corr, motn, ii, jj, aux) -> (net, delta, weight).
+    """
+
+    @jax.jit
+    def gate(fmap_kf, fmap_cur, net_kf, inp_kf):
+        H, W = fmap_kf.shape[0], fmap_kf.shape[1]
+        f1 = fmap_kf.transpose(2, 0, 1)[None]
+        f2 = fmap_cur.transpose(2, 0, 1)[None]
+        vol = corr_ops.build_volume(f1, f2)
+        pyr = corr_ops.build_pyramid(vol)
+        coords0 = pj.coords_grid(H, W)[None]
+        corr = corr_ops.lookup_pyramid(pyr, coords0).transpose(0, 2, 3, 1)
+        zero_motn = jnp.zeros((1, H, W, 4), dtype=net_kf.dtype)
+        ii = jnp.zeros((1,), dtype=jnp.int32)
+        _, delta, _ = update_fn(
+            net_kf[None], inp_kf[None], corr.astype(net_kf.dtype), zero_motn,
+            ii, ii, {},
+        )
+        return jnp.mean(jnp.linalg.norm(delta[0], axis=-1))
+
+    return gate
+
+
+class MotionFilter:
+    def __init__(
+        self,
+        video: DepthVideo,
+        cfg: DBAFusionConfig,
+        feat_fn: Callable,
+        ctx_fn: Callable,
+        update_fn: Callable,
+    ):
+        """feat_fn(image_nhwc) -> fmap (H/8, W/8, 128);
+        ctx_fn(image) -> (net, inp); update_fn: graph-kernel signature."""
+        self.video = video
+        self.cfg = cfg
+        self.thresh = cfg.frontend.filter_thresh
+        self.feat = feat_fn
+        self.ctx = ctx_fn
+        self.gate = make_gate(update_fn)
+        self.count = 0
+        self._kf_fmap = None
+        self._kf_net = None
+        self._kf_inp = None
+
+    def track(
+        self,
+        tstamp: float,
+        image: np.ndarray,
+        depth: Optional[np.ndarray] = None,
+        intrinsics: Optional[np.ndarray] = None,
+    ) -> bool:
+        """Process one frame; returns True if admitted as keyframe.
+
+        image: (H, W, 3) BGR float/uint8 host array.
+        """
+        img = jnp.asarray(image, dtype=jnp.float32)[None]
+        fmap = self.feat(img)[0]
+
+        if self.video.counter == 0:
+            net, inp = self.ctx(img)
+            self._store(fmap, net[0], inp[0])
+            small = np.asarray(image[::8, ::8]).astype(np.uint8)
+            self.video.append(
+                tstamp, small, lie.se3_identity(), 1.0,
+                None if depth is None else jnp.asarray(depth),
+                jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0,
+                fmap, net[0], inp[0],
+            )
+            return True
+
+        delta = float(
+            self.gate(
+                self._kf_fmap.astype(jnp.bfloat16),
+                fmap.astype(jnp.bfloat16),
+                self._kf_net, self._kf_inp,
+            )
+        )
+        if delta > self.thresh:
+            self.count = 0
+            net, inp = self.ctx(img)
+            self._store(fmap, net[0], inp[0])
+            small = np.asarray(image[::8, ::8]).astype(np.uint8)
+            self.video.append(
+                tstamp, small, None, None,
+                None if depth is None else jnp.asarray(depth),
+                jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0,
+                fmap, net[0], inp[0],
+            )
+            return True
+        self.count += 1
+        return False
+
+    def _store(self, fmap, net, inp):
+        self._kf_fmap = fmap
+        self._kf_net = net.astype(jnp.bfloat16)
+        self._kf_inp = inp.astype(jnp.bfloat16)

@@ -1,0 +1,100 @@
+"""System facade: wires network, video, filter, graph, and frontend.
+
+The TPU counterpart of /root/reference/dbaf/dbaf.py:16-140.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import DroidNet
+from ..models.convert import load_droid_weights
+from ..utils.config import DBAFusionConfig
+from .frontend import Frontend
+from .graph import CovisibleGraph
+from .motion_filter import MotionFilter
+from .video import DepthVideo
+
+
+def _model_fns(cfg: DBAFusionConfig, params):
+    """Build jitted feature/context/update callables from DroidNet params."""
+    model = DroidNet()
+
+    @jax.jit
+    def feat_fn(images):
+        return model.apply({"params": params}, images, method=model.features_only)
+
+    @jax.jit
+    def ctx_fn(images):
+        return model.apply({"params": params}, images, method=model.context_only)
+
+    def update_fn(net, inp, corr, motn, ii, jj, aux):
+        net_new, delta, weight, _, _ = model.apply(
+            {"params": params}, None, net, inp, corr, motn
+        )
+        return net_new, delta, weight
+
+    return feat_fn, ctx_fn, update_fn
+
+
+class DBAFusion:
+    """Streaming VIO system: feed frames via :meth:`track`.
+
+    ``update_fn``/``feat_fn``/``ctx_fn`` may be injected (e.g. synthetic
+    oracles for tests); by default they come from DroidNet with converted
+    TartanAir weights (cfg.weights_path).
+    """
+
+    def __init__(
+        self,
+        cfg: DBAFusionConfig,
+        params=None,
+        feat_fn: Optional[Callable] = None,
+        ctx_fn: Optional[Callable] = None,
+        update_fn: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.video = DepthVideo(cfg)
+
+        if update_fn is None or feat_fn is None or ctx_fn is None:
+            if params is None:
+                if cfg.weights_path is None:
+                    raise ValueError(
+                        "need weights_path/params or injected feat/ctx/update fns"
+                    )
+                params = load_droid_weights(cfg.weights_path)
+            f, c, u = _model_fns(cfg, params)
+            feat_fn = feat_fn or f
+            ctx_fn = ctx_fn or c
+            update_fn = update_fn or u
+
+        self.graph = CovisibleGraph(self.video, update_fn, cfg)
+        self.filter = MotionFilter(self.video, cfg, feat_fn, ctx_fn, update_fn)
+        self.frontend = Frontend(self.video, self.graph, cfg)
+
+    def track(
+        self,
+        tstamp: float,
+        image: np.ndarray,
+        depth: Optional[np.ndarray] = None,
+        intrinsics: Optional[np.ndarray] = None,
+    ):
+        """Feed one frame (dbaf.py:50-58)."""
+        self.filter.track(tstamp, image, depth, intrinsics)
+        self.frontend()
+
+    @property
+    def trajectory(self):
+        return self.frontend.trajectory
+
+    def terminate(self):
+        """Flush state; returns the keyframe trajectory as (N, 8) array
+        ``[t, x, y, z, qx, qy, qz, qw]`` (camera-to-world)."""
+        rows = [
+            np.concatenate([[t], p]) for t, p in self.frontend.trajectory
+        ]
+        return np.asarray(rows) if rows else np.zeros((0, 8))

@@ -1,0 +1,195 @@
+"""Keyframe state store: the TPU-native DepthVideo.
+
+Redesign of /root/reference/dbaf/depth_video.py:40-560.  Differences by
+design:
+
+* all hot state (poses, disparities, features, GRU context) lives in jax
+  device arrays with **static buffer shapes**; per-keyframe mutation happens
+  through tiny jitted index updates (no host round trips);
+* timestamps and low-rate bookkeeping stay on host (numpy);
+* marginalized-keyframe archival ("save buffers",
+  depth_video.py:73-81,336-343) appends to host lists instead of fixed GPU
+  tensors -- unbounded trajectories without device memory growth;
+* the multiprocessing counter/lock is gone: the reference's filter and
+  frontend already run sequentially in one thread (SURVEY.md 5.2), so the
+  lock guarded nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie, projective as pj
+from ..utils.config import DBAFusionConfig
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_row(buf, idx, value):
+    return buf.at[idx].set(value)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_row(buf, dst, src):
+    return buf.at[dst].set(buf[src])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def _roll(buf, shift):
+    return jnp.roll(buf, -shift, axis=0)
+
+
+@jax.jit
+def _distance(poses, disps, intrinsics, ii, jj, beta):
+    return pj.frame_distance_bidirectional(poses, disps, intrinsics, ii, jj, beta)
+
+
+@jax.jit
+def _reproject(poses, disps, intrinsics, ii, jj):
+    return pj.projective_transform(poses, disps, intrinsics, ii, jj)
+
+
+@jax.jit
+def _normalize(poses, disps, count_mask):
+    s = jnp.sum(disps * count_mask[:, None, None]) / jnp.maximum(
+        jnp.sum(count_mask) * disps.shape[1] * disps.shape[2], 1.0
+    )
+    disps = jnp.where(count_mask[:, None, None] > 0, disps / s, disps)
+    poses = poses.at[:, :3].set(
+        jnp.where(count_mask[:, None] > 0, poses[:, :3] * s, poses[:, :3])
+    )
+    return poses, disps
+
+
+class DepthVideo:
+    """Fixed-capacity keyframe ring with device-resident hot state."""
+
+    def __init__(self, cfg: DBAFusionConfig):
+        self.cfg = cfg
+        ht, wd = cfg.image_size
+        h8, w8 = ht // 8, wd // 8
+        B = cfg.buffer
+        self.ht, self.wd = ht, wd
+        self.h8, self.w8 = h8, w8
+
+        self.counter = 0
+        self.tstamp = np.zeros(B, dtype=np.float64)
+
+        ident = jnp.asarray([0, 0, 0, 0, 0, 0, 1], dtype=jnp.float32)
+        self.poses = jnp.tile(ident[None], (B, 1))
+        self.disps = jnp.ones((B, h8, w8), dtype=jnp.float32)
+        self.disps_sens = jnp.zeros((B, h8, w8), dtype=jnp.float32)
+        self.damping = 1e-6 * jnp.ones((B, h8, w8), dtype=jnp.float32)
+        self.fmaps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+        self.nets = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+        self.inps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+        self.intrinsics = jnp.zeros((4,), dtype=jnp.float32)  # at 1/8 scale
+
+        # host-side archival of marginalized keyframes (.pkl export path)
+        self.saved_tstamps: List[float] = []
+        self.saved_poses: List[np.ndarray] = []
+        self.saved_disps: List[np.ndarray] = []
+        self.saved_images: List[np.ndarray] = []
+        self.images_small = np.zeros((B, h8, w8, 3), dtype=np.uint8)
+
+        self.imu_enabled = False
+
+    # ------------------------------------------------------------------
+    def append(
+        self,
+        tstamp: float,
+        image_small: Optional[np.ndarray],
+        pose: Optional[jnp.ndarray],
+        disp: Optional[float],
+        depth: Optional[jnp.ndarray],
+        intrinsics: jnp.ndarray,
+        fmap: jnp.ndarray,
+        net: jnp.ndarray,
+        inp: jnp.ndarray,
+    ) -> int:
+        """Add a keyframe at the next slot; returns its index."""
+        idx = self.counter
+        self.tstamp[idx] = tstamp
+        if image_small is not None:
+            self.images_small[idx] = image_small
+        if pose is not None:
+            self.poses = _set_row(self.poses, idx, pose)
+        if disp is not None:
+            self.disps = _set_row(
+                self.disps, idx, jnp.full((self.h8, self.w8), disp, jnp.float32)
+            )
+        if depth is not None:
+            # subsample like depth_video.py:146-147
+            d8 = depth[3::8, 3::8]
+            self.disps_sens = _set_row(
+                self.disps_sens, idx, jnp.where(d8 > 0, 1.0 / d8, d8)
+            )
+        self.intrinsics = intrinsics
+        self.fmaps = _set_row(self.fmaps, idx, fmap.astype(jnp.bfloat16))
+        self.nets = _set_row(self.nets, idx, net.astype(jnp.bfloat16))
+        self.inps = _set_row(self.inps, idx, inp.astype(jnp.bfloat16))
+        self.counter += 1
+        return idx
+
+    def set_pose(self, idx: int, pose: jnp.ndarray):
+        self.poses = _set_row(self.poses, idx, pose)
+
+    def set_disp(self, idx: int, disp: jnp.ndarray):
+        self.disps = _set_row(self.disps, idx, disp)
+
+    # ------------------------------------------------------------------
+    def rm_keyframe(self, ix: int):
+        """Drop keyframe ``ix``, shifting slot ix+1 down (covisible_graph.py:180-195)."""
+        for name in ("poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps"):
+            setattr(self, name, _copy_row(getattr(self, name), ix, ix + 1))
+        self.tstamp[ix] = self.tstamp[ix + 1]
+        self.images_small[ix] = self.images_small[ix + 1]
+        self.counter -= 1
+
+    def archive(self, ix: int):
+        """Host-side save-buffer append for a marginalized keyframe."""
+        if not self.cfg.save_pkl:
+            return
+        self.saved_tstamps.append(float(self.tstamp[ix]))
+        self.saved_poses.append(np.asarray(self.poses[ix]))
+        self.saved_disps.append(np.asarray(self.disps[ix]))
+        self.saved_images.append(self.images_small[ix].copy())
+
+    def rollup(self, shift: int):
+        """Shift the whole buffer down (dbaf_frontend.py:89-151)."""
+        for i in range(shift):
+            self.archive(i)
+        for name in ("poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps"):
+            setattr(self, name, _roll(getattr(self, name), shift))
+        self.tstamp = np.roll(self.tstamp, -shift)
+        self.images_small = np.roll(self.images_small, -shift, axis=0)
+        self.counter -= shift
+
+    # ------------------------------------------------------------------
+    def distance(self, ii, jj, beta: float = 0.3) -> np.ndarray:
+        d = _distance(
+            self.poses,
+            self.disps,
+            self.intrinsics,
+            jnp.asarray(ii, dtype=jnp.int32),
+            jnp.asarray(jj, dtype=jnp.int32),
+            beta,
+        )
+        return np.asarray(d)
+
+    def reproject(self, ii, jj):
+        return _reproject(
+            self.poses,
+            self.disps,
+            self.intrinsics,
+            jnp.asarray(ii, dtype=jnp.int32),
+            jnp.asarray(jj, dtype=jnp.int32),
+        )
+
+    def normalize(self):
+        mask = (jnp.arange(self.poses.shape[0]) < self.counter).astype(jnp.float32)
+        self.poses, self.disps = _normalize(self.poses, self.disps, mask)

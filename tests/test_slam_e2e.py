@@ -1,0 +1,184 @@
+"""End-to-end streaming SLAM test on a synthetic consistent scene.
+
+A planar world viewed from a smooth trajectory gives multi-view-consistent
+ground-truth disparities; an oracle update operator (a 'perfect network'
+returning true correspondences) drives the full machinery: keyframe store,
+covisibility graph, fused update kernel, dense BA, culling, rollup.  This is
+the 'fake backend' e2e strategy SURVEY.md section 4 calls for.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dbaf_tpu.eval.ate import ate_rmse
+from dbaf_tpu.ops import lie, projective as pj
+from dbaf_tpu.slam.frontend import Frontend
+from dbaf_tpu.slam.graph import CovisibleGraph
+from dbaf_tpu.slam.video import DepthVideo
+from dbaf_tpu.utils.config import (
+    BAConfig,
+    DBAFusionConfig,
+    FrontendConfig,
+    GraphConfig,
+)
+
+H8, W8 = 8, 16
+
+
+def plane_disparity(pose_wc, intr, z0=3.0):
+    """Ground-truth disparity of the plane world z=z0 for a world->cam pose."""
+    fx, fy, cx, cy = intr
+    R = np.asarray(lie.quat_to_matrix(jnp.asarray(pose_wc[3:])))
+    t = pose_wc[:3]
+    u, v = np.meshgrid(np.arange(W8), np.arange(H8), indexing="xy")
+    dirs = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, dtype=float)], -1)
+    dir_w = dirs @ R  # R^T dir
+    tz = (R.T @ t)[2]
+    z = (z0 + tz) / dir_w[..., 2]
+    return (1.0 / z).astype(np.float32)
+
+
+def make_scene(n_frames, intr):
+    """Smooth forward+lateral trajectory looking at the plane."""
+    poses = []
+    for k in range(n_frames):
+        a = 0.04 * k
+        xi = np.array([
+            0.08 * k, 0.05 * np.sin(a * 3), 0.02 * k,   # translation
+            0.02 * np.sin(a * 2), 0.03 * np.cos(a), 0.01 * a,  # rotation
+        ])
+        Twc = np.asarray(lie.se3_exp(jnp.asarray(xi, dtype=jnp.float64)))
+        poses.append(np.asarray(lie.se3_inv(jnp.asarray(Twc))))  # world->cam
+    poses = np.stack(poses).astype(np.float32)
+    disps = np.stack([plane_disparity(p, intr) for p in poses])
+    return poses, disps
+
+
+def make_cfg(**fe_overrides):
+    fe = dict(
+        warmup=8, keyframe_thresh=-1.0, filter_thresh=0.0,
+        iters1=2, iters2=1, init_iters=4, rollup_start=1000, rollup_shift=8,
+        active_window=12,
+    )
+    fe.update(fe_overrides)
+    return DBAFusionConfig(
+        image_size=(8 * H8, 8 * W8),
+        buffer=48,
+        graph=GraphConfig(
+            max_factors=40, edge_capacity=72, inactive_capacity=72,
+            frontend_window=5, frontend_radius=2, frontend_nms=1,
+            frontend_thresh=20.0, max_age=25, inac_range=3,
+            far_threshold=-1.0, mask_threshold=-1.0,
+        ),
+        frontend=FrontendConfig(**fe),
+        ba=BAConfig(window=32, iters=2),
+    )
+
+
+def make_oracle(gt_poses, gt_disps, intr, id_map_ref):
+    """'Perfect network': returns true correspondence deltas and weight 1.
+
+    id_map_ref is a mutable holder mapping video slot -> gt frame id; since
+    jit bakes closures, the map is passed via aux instead when it changes.
+    """
+    gtp = jnp.asarray(gt_poses)
+    gtd = jnp.asarray(gt_disps)
+    intr8 = jnp.asarray(intr, dtype=jnp.float32)
+
+    def update_fn(net, inp, corr, motn, ii, jj, aux):
+        id_map = aux["id_map"]
+        gi = id_map[ii]
+        gj = id_map[jj]
+        target, valid = pj.projective_transform(gtp, gtd, intr8, gi, gj)
+        delta = target - aux["coords1"]
+        weight = jnp.broadcast_to(valid, delta.shape)
+        return net, delta.astype(jnp.float32), weight.astype(jnp.float32)
+
+    return update_fn
+
+
+class Harness:
+    """Feeds synthetic keyframes directly (bypassing the motion filter)."""
+
+    def __init__(self, cfg, gt_poses, gt_disps, intr):
+        self.cfg = cfg
+        self.video = DepthVideo(cfg)
+        self.id_map = np.zeros(cfg.buffer, dtype=np.int32)
+        oracle = make_oracle(gt_poses, gt_disps, intr, self)
+        self.graph = CovisibleGraph(self.video, oracle, cfg)
+        self.frontend = Frontend(self.video, self.graph, cfg)
+        self.intr8 = jnp.asarray(intr, dtype=jnp.float32)
+        h8, w8 = self.video.h8, self.video.w8
+        self.zeros_feat = jnp.zeros((h8, w8, 128), dtype=jnp.bfloat16)
+
+    def feed(self, gt_id: float):
+        idx = self.video.counter
+        self.video.append(
+            float(gt_id), None, None, None, None, self.intr8,
+            self.zeros_feat, self.zeros_feat, self.zeros_feat,
+        )
+        self.id_map[idx] = gt_id
+        self.graph.aux = {"id_map": jnp.asarray(self.id_map)}
+        self.frontend()
+        # track cull/rollup bookkeeping: keep id_map aligned with tstamps
+        self.id_map[: self.video.counter] = np.round(
+            self.video.tstamp[: self.video.counter]
+        ).astype(np.int32)
+        self.graph.aux = {"id_map": jnp.asarray(self.id_map)}
+
+
+def run_system(n_frames, cfg):
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_poses, gt_disps = make_scene(n_frames, intr)
+    h = Harness(cfg, gt_poses, gt_disps, intr)
+    for k in range(n_frames):
+        h.feed(k)
+    return h, gt_poses
+
+
+@pytest.mark.slow
+def test_e2e_visual_only_converges():
+    n = 14
+    h, gt_poses = run_system(n, make_cfg())
+    assert h.frontend.is_initialized
+    t1 = h.frontend.t1
+    assert t1 >= 10
+
+    est = np.asarray(
+        [np.asarray(lie.se3_inv(h.video.poses[k])[:3]) for k in range(t1)]
+    )
+    gt_ids = np.round(h.video.tstamp[:t1]).astype(int)
+    ref = np.stack(
+        [np.asarray(lie.se3_inv(jnp.asarray(gt_poses[g]))[:3]) for g in gt_ids]
+    )
+    rmse = ate_rmse(est, ref, align="sim3")
+    span = np.linalg.norm(ref.max(0) - ref.min(0))
+    assert rmse < 0.05 * span, (rmse, span)
+
+
+@pytest.mark.slow
+def test_e2e_with_culling_and_rollup():
+    # trigger culls (large keyframe_thresh culls slow-motion frames) and a
+    # rollup (low rollup_start)
+    cfg = make_cfg(keyframe_thresh=0.4, rollup_start=12, rollup_shift=4)
+    n = 18
+    h, gt_poses = run_system(n, cfg)
+    assert h.frontend.is_initialized
+    # rollup must have happened
+    assert any(np.round(h.video.tstamp[0]) > 0 for _ in [0]) or h.frontend.t1 <= 12
+    t1 = h.frontend.t1
+    est = np.asarray(
+        [np.asarray(lie.se3_inv(h.video.poses[k])[:3]) for k in range(t1)]
+    )
+    gt_ids = np.round(h.video.tstamp[:t1]).astype(int)
+    ref = np.stack(
+        [np.asarray(lie.se3_inv(jnp.asarray(gt_poses[g]))[:3]) for g in gt_ids]
+    )
+    rmse = ate_rmse(est, ref, align="sim3")
+    span = np.linalg.norm(ref.max(0) - ref.min(0))
+    assert rmse < 0.08 * span, (rmse, span)
+    assert np.all(np.isfinite(np.asarray(h.video.disps[:t1])))
