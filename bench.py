@@ -36,6 +36,7 @@ def main():
     cfg.frontend.rollup_start = 40
     cfg.frontend.rollup_shift = 15
     cfg.frontend.keyframe_thresh = -1.0  # never cull
+    cfg.ba.window = 48  # covers rollup_start + margin
 
     model = DroidNet()
     rng = np.random.default_rng(0)

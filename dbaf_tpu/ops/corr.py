@@ -56,6 +56,24 @@ def build_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
     return vol.reshape(E, H * W, H, W).astype(fmap1.dtype)
 
 
+def build_volume_nhwc(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs volume from channels-last features (layout-native on TPU).
+
+    fmap1, fmap2: (E, H, W, C).  Returns (E, H*W, H, W).  Contracting the
+    trailing channel dim avoids the relayout the NCHW path forces.
+    """
+    E, H, W, C = fmap1.shape
+    a = fmap1.reshape(E, H * W, C) / 4.0
+    b = fmap2.reshape(E, H * W, C) / 4.0
+    vol = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return vol.reshape(E, H * W, H, W).astype(fmap1.dtype)
+
+
 def build_pyramid(
     volume: jnp.ndarray, num_levels: int = DEFAULT_LEVELS
 ) -> List[jnp.ndarray]:
@@ -192,6 +210,83 @@ def lookup_pyramid(
         outs.append(fn(vol, flat / (2.0**lvl), radius))
     out = jnp.concatenate(outs, axis=-1)  # (E, P, L*R^2)
     return out.transpose(0, 2, 1).reshape(E, -1, H, W)
+
+
+def _pooled_tri_kernel(
+    coord: jnp.ndarray, size: int, radius: int, level: int
+) -> jnp.ndarray:
+    """Effective lookup kernel of pyramid level ``level`` against the
+    *level-0* volume.
+
+    Average-pooling commutes into the interpolation kernel: the level-l
+    bilinear tap at pooled position ``coord/2^l - r + k`` equals a level-0
+    contraction with ``tri(floor(h/2^l) - (coord/2^l - r + k)) / 2^l``.
+    Returns (..., 2r+1, size).
+    """
+    scale = float(2**level)
+    taps = coord[..., None, None] / scale + (
+        jnp.arange(2 * radius + 1, dtype=coord.dtype)[:, None] - radius
+    )
+    grid = jnp.floor(jnp.arange(size, dtype=coord.dtype) / scale)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(grid - taps)) / scale
+
+
+def lookup_fused(
+    volume: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+) -> jnp.ndarray:
+    """Multi-level windowed lookup straight from the level-0 volume.
+
+    Folds the whole pyramid into per-level effective kernels so the volume
+    is read ONCE for all levels and no pooled copies are ever materialized
+    -- the TPU-native replacement for pyramid-build + per-level gather
+    (/root/reference/dbaf/modules/corr.py:35-50,
+    /root/reference/src/correlation_kernels.cu:19-70).
+
+    volume: (E, P, H2, W2); coords: (E, H, W, 2) with P == H*W.
+    Returns (E, L*(2r+1)^2, H, W), reference channel order (level-major,
+    x-offset-major).
+    """
+    E, P, H2, W2 = volume.shape
+    _, H, W, _ = coords.shape
+    R = 2 * radius + 1
+    flat = coords.reshape(E, P, 2)
+    x0 = flat[..., 0]
+    y0 = flat[..., 1]
+
+    ky = jnp.concatenate(
+        [_pooled_tri_kernel(y0, H2, radius, l) for l in range(num_levels)],
+        axis=-2,
+    )  # (E, P, L*R, H2)
+    kx = jnp.concatenate(
+        [_pooled_tri_kernel(x0, W2, radius, l) for l in range(num_levels)],
+        axis=-2,
+    )  # (E, P, L*R, W2)
+
+    dt = volume.dtype
+    # contract H2 once for all levels: (E,P,LR,H2) x (E,P,H2,W2)
+    tmp = jax.lax.dot_general(
+        ky.astype(dt),
+        volume,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    # contract W2: (E,P,LRa,W2) x (E,P,LRb,W2) -> (E,P,LRa,LRb); only the
+    # per-level diagonal blocks are needed
+    full = jax.lax.dot_general(
+        kx.astype(dt),
+        tmp.astype(dt),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    outs = [
+        full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R].reshape(E, P, R * R)
+        for l in range(num_levels)
+    ]
+    out = jnp.concatenate(outs, axis=-1)  # (E, P, L*R^2)
+    return out.transpose(0, 2, 1).reshape(E, num_levels * R * R, H, W)
 
 
 class CorrPyramid:

@@ -341,6 +341,156 @@ def retract(
     return poses, disps
 
 
+class PairwiseSystem(NamedTuple):
+    """Schur-reduced system built without materializing the dense pose-depth
+    coupling matrix.
+
+    The dense path forms ``Ew (P*6, K*D)`` (hundreds of MB at production
+    windows) purely to compute ``S = A - E Q E^T``.  Algebraically S only
+    couples poses of edge pairs sharing a source frame, so it equals one
+    Gram matmul of the stacked per-edge couplings::
+
+        Exy (E, 12, D);  T = (Exy * Q[ii]) @ Exy^T   -- (E*12, D)@(D, E*12)
+
+    followed by a masked scatter of 6x6 quadrants onto pose pairs -- an
+    MXU-shaped replacement for both the reference's CPU interaction lists
+    (schur_block, /root/reference/src/droid_kernels.cu:1297-1391) and this
+    module's dense fallback.
+    """
+
+    S: jnp.ndarray
+    v: jnp.ndarray
+    C: jnp.ndarray
+    w: jnp.ndarray
+    pose_active: jnp.ndarray
+    A: jnp.ndarray
+    b: jnp.ndarray
+
+
+def assemble_pairwise(
+    sys_e: EdgeSystem,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    P: int,
+    nfixed: jnp.ndarray,
+    nactive: jnp.ndarray,
+    eta: jnp.ndarray,
+    disps: Optional[jnp.ndarray] = None,
+    disps_sens: Optional[jnp.ndarray] = None,
+    alpha: float = 0.05,
+) -> PairwiseSystem:
+    """Assemble A, b, C, w and the Schur complement via the pairwise path."""
+    E = ii.shape[0]
+    D = sys_e.C.shape[-1]
+
+    def loc(x):
+        return jnp.where((x >= nfixed) & (x < nactive), x, -1)
+
+    li, lj = loc(ii), loc(jj)
+
+    Hii = sys_e.H[:, :6, :6]
+    Hij = sys_e.H[:, :6, 6:]
+    Hji = sys_e.H[:, 6:, :6]
+    Hjj = sys_e.H[:, 6:, 6:]
+    A = (
+        _segment_matrix(Hii, li, li, P)
+        + _segment_matrix(Hij, li, lj, P)
+        + _segment_matrix(Hji, lj, li, P)
+        + _segment_matrix(Hjj, lj, lj, P)
+    )
+    b = _segment_vector(sys_e.v[:, :6], li, P) + _segment_vector(
+        sys_e.v[:, 6:], lj, P
+    )
+
+    slot = jnp.arange(P)
+    depth_active = slot < nactive
+    ki = jnp.clip(ii, 0, P - 1)
+
+    C = jax.ops.segment_sum(sys_e.C, ki, num_segments=P)
+    w = jax.ops.segment_sum(sys_e.w, ki, num_segments=P)
+    if disps_sens is not None and disps is not None:
+        m = (disps_sens.reshape(P, D) > 0).astype(C.dtype)
+        C = C + m * alpha + (1.0 - m) * eta.reshape(P, D)
+        w = w - m * alpha * (disps.reshape(P, D) - disps_sens.reshape(P, D))
+    else:
+        C = C + eta.reshape(P, D)
+    C = jnp.where(depth_active[:, None], C, 1.0)
+    w = jnp.where(depth_active[:, None], w, 0.0)
+    Q = 1.0 / C
+
+    # per-edge stacked coupling rows, masked by pose-role validity
+    Ei = sys_e.Ei * (li >= 0)[:, None, None]
+    Ej = sys_e.Ej * (lj >= 0)[:, None, None]
+    Exy = jnp.concatenate([Ei, Ej], axis=1)  # (E, 12, D)
+    Qe = Q[ki]  # (E, D)
+    ExyQ = Exy * Qe[:, None, :]
+
+    # one Gram matmul over depth pixels
+    T = jnp.matmul(
+        ExyQ.reshape(E * 12, D), Exy.reshape(E * 12, D).T, precision=HIGH
+    ).reshape(E, 12, E, 12)
+    pair = (ii[:, None] == ii[None, :]).astype(T.dtype)
+    T = T * pair[:, None, :, None]
+
+    # scatter the four 6x6 quadrants onto (pose_row, pose_col)
+    roles = (li, lj)
+    EQEt = jnp.zeros((P, P, 6, 6), dtype=T.dtype)
+    for a in range(2):
+        for c in range(2):
+            blk = T[:, 6 * a : 6 * a + 6, :, 6 * c : 6 * c + 6]
+            blk = blk.transpose(0, 2, 1, 3).reshape(E * E, 6, 6)
+            rows = jnp.broadcast_to(roles[a][:, None], (E, E)).reshape(-1)
+            cols = jnp.broadcast_to(roles[c][None, :], (E, E)).reshape(-1)
+            EQEt = EQEt + _segment_matrix(blk, rows, cols, P)
+
+    # v_r = b - E Q w
+    Qw = Q * w
+    Ev = jnp.einsum("ecd,ed->ec", Exy, Qw[ki], precision=HIGH)  # (E, 12)
+    EQw = _segment_vector(Ev[:, :6], li, P) + _segment_vector(Ev[:, 6:], lj, P)
+
+    A = A.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    EQEt = EQEt.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
+    pose_active = (slot >= nfixed) & (slot < nactive)
+    pa6 = jnp.repeat(pose_active, 6)
+    A = jnp.where(pa6[:, None] & pa6[None, :], A, 0.0)
+    S = A - EQEt
+    v_r = jnp.where(pa6, (b - EQw).reshape(P * 6), 0.0)
+    b_flat = jnp.where(pa6, b.reshape(P * 6), 0.0)
+
+    return PairwiseSystem(
+        S=S, v=v_r, C=C, w=w, pose_active=pose_active, A=A, b=b_flat
+    )
+
+
+def back_substitute_pairwise(
+    ps: PairwiseSystem,
+    sys_e: EdgeSystem,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    dx: jnp.ndarray,
+    nfixed: jnp.ndarray,
+    nactive: jnp.ndarray,
+) -> jnp.ndarray:
+    """dz = Q (w - E^T dx) computed edge-wise (no dense E), with the
+    pose-t0 exclusion quirk (EvT ix<=0, droid_kernels.cu:1152-1153)."""
+    P = ps.C.shape[0]
+    dxm = dx.reshape(P, 6)
+    dxm = jnp.where((jnp.arange(P) == nfixed)[:, None], 0.0, dxm)
+
+    def loc(x):
+        return jnp.where((x >= nfixed) & (x < nactive), x, -1)
+
+    li, lj = loc(ii), loc(jj)
+    dxi = jnp.where((li >= 0)[:, None], dxm[jnp.clip(li, 0, P - 1)], 0.0)
+    dxj = jnp.where((lj >= 0)[:, None], dxm[jnp.clip(lj, 0, P - 1)], 0.0)
+    dw = jnp.einsum("ecd,ec->ed", sys_e.Ei, dxi, precision=HIGH) + jnp.einsum(
+        "ecd,ec->ed", sys_e.Ej, dxj, precision=HIGH
+    )
+    ki = jnp.clip(ii, 0, P - 1)
+    acc = jax.ops.segment_sum(dw, ki, num_segments=P)
+    return (1.0 / ps.C) * (ps.w - acc)
+
+
 class BAState(NamedTuple):
     poses: jnp.ndarray  # (P, 7)
     disps: jnp.ndarray  # (P, H, W)
@@ -348,7 +498,9 @@ class BAState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "motion_only", "lm", "ep", "alpha", "use_sens"),
+    static_argnames=(
+        "iterations", "motion_only", "lm", "ep", "alpha", "use_sens", "schur"
+    ),
 )
 def ba(
     poses: jnp.ndarray,
@@ -369,6 +521,7 @@ def ba(
     alpha: float = 0.05,
     motion_only: bool = False,
     use_sens: bool = False,
+    schur: str = "pairwise",
 ) -> BAState:
     """Full DBA iterations on a window (the ``droid_backends.ba`` surface).
 
@@ -383,21 +536,33 @@ def ba(
     def body(_, state: BAState) -> BAState:
         p, d = state.poses, state.disps
         es = build_edge_system(p, d, intrinsics, targets, weights, ii, jj, edge_mask)
-        ws = assemble_window_system(
-            es, ii, jj, P, nfixed, nactive, eta,
-            disps=d if use_sens else None,
-            disps_sens=disps_sens if use_sens else None,
-            alpha=alpha,
-        )
-        if motion_only:
-            dx = damped_solve(ws.A, ws.b, ws.pose_active, lm, ep)
-            dz = jnp.zeros_like(ws.C)
+        if schur == "pairwise" and not motion_only:
+            ps = assemble_pairwise(
+                es, ii, jj, P, nfixed, nactive, eta,
+                disps=d if use_sens else None,
+                disps_sens=disps_sens if use_sens else None,
+                alpha=alpha,
+            )
+            dx = damped_solve(ps.S, ps.v, ps.pose_active, lm, ep)
+            dz = back_substitute_pairwise(ps, es, ii, jj, dx, nfixed, nactive)
+            pose_active = ps.pose_active
         else:
-            S, v_r = reduced_camera_system(ws)
-            dx = damped_solve(S, v_r, ws.pose_active, lm, ep)
-            dz = back_substitute_depth(ws, dx, nfixed)
+            ws = assemble_window_system(
+                es, ii, jj, P, nfixed, nactive, eta,
+                disps=d if use_sens else None,
+                disps_sens=disps_sens if use_sens else None,
+                alpha=alpha,
+            )
+            pose_active = ws.pose_active
+            if motion_only:
+                dx = damped_solve(ws.A, ws.b, ws.pose_active, lm, ep)
+                dz = jnp.zeros_like(ws.C)
+            else:
+                S, v_r = reduced_camera_system(ws)
+                dx = damped_solve(S, v_r, ws.pose_active, lm, ep)
+                dz = back_substitute_depth(ws, dx, nfixed)
         depth_active = jnp.arange(P) < nactive
-        p, d = retract(p, d, dx, dz, ws.pose_active, depth_active)
+        p, d = retract(p, d, dx, dz, pose_active, depth_active)
         return BAState(p, d)
 
     state = jax.lax.fori_loop(0, iterations, body, BAState(poses, disps))

@@ -62,15 +62,15 @@ class Frontend:
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
-        for _ in range(self.cfg.frontend.init_iters):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(1, use_inactive=True, rounds=self.cfg.frontend.init_iters)
 
         self.graph.add_proximity_factors(
             0, 0, rad=2, nms=2, thresh=self.cfg.graph.frontend_thresh,
             beta=self.beta, remove=False,
         )
-        for _ in range(2 * self.cfg.frontend.init_iters):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(
+            1, use_inactive=True, rounds=2 * self.cfg.frontend.init_iters
+        )
 
         # seed next slot (dbaf_frontend.py:843-845)
         self.video.set_pose(self.t1, self.video.poses[self.t1 - 1])
@@ -107,8 +107,7 @@ class Frontend:
             remove=True,
         )
 
-        for _ in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+        self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
 
         # rollup (dbaf_frontend.py:253-257)
         self.did_rollup = False
@@ -133,8 +132,7 @@ class Frontend:
             self.graph.rm_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self.graph.update(None, None, use_inactive=True, rounds=self.iters2)
 
         # seed next slot (dbaf_frontend.py:371-373)
         self.video.set_pose(self.t1, self.video.poses[self.t1 - 1])

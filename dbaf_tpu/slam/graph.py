@@ -118,102 +118,112 @@ def make_update_kernel(
         # opaque pytree forwarded to update_fn (test oracles, extra context)
         aux,
         # static
-        iters: int, use_inactive: bool,
+        iters: int, use_inactive: bool, rounds: int,
     ):
-        # ---- reproject active edges
-        coords1, _valid = pj.projective_transform(poses, disps, intrinsics, ii, jj)
-        grid = pj.coords_grid(coords1.shape[1], coords1.shape[2])
-        motn = jnp.concatenate(
-            [coords1 - grid, e_target - coords1], axis=-1
-        ).clip(-64.0, 64.0)
+        grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
-        # ---- correlation: rebuild pyramid from features, lookup at coords1
-        c = (ii == jj).astype(jnp.int32)  # stereo second cam unsupported yet
-        f1 = fmaps_buf[ii].transpose(0, 3, 1, 2)  # (E, 128, H, W)
-        f2 = fmaps_buf[jj].transpose(0, 3, 1, 2)
-        vol = corr_ops.build_volume(f1, f2)
-        pyramid = corr_ops.build_pyramid(vol)
-        corr = corr_ops.lookup_pyramid(pyramid, coords1, radius)  # (E,196,H,W)
-        corr = corr.transpose(0, 2, 3, 1)
-
-        # ---- GRU update
+        # correlation volume: built ONCE per keyframe step (features are
+        # fixed across rounds), one MXU matmul
+        vol = corr_ops.build_volume_nhwc(fmaps_buf[ii], fmaps_buf[jj])
         inp_e = inps_buf[ii]
-        aux_full = dict(aux)
-        aux_full.update(coords1=coords1, poses=poses, disps=disps)
-        net_new, delta, weight_up = update_fn(
-            e_net, inp_e.astype(e_net.dtype), corr.astype(e_net.dtype),
-            motn.astype(e_net.dtype), ii, jj, aux_full,
-        )
-        target = coords1 + delta.astype(jnp.float32)
-        weight = weight_up.astype(jnp.float32)
-        # keep padded slots inert
-        m4 = e_mask[:, None, None, None]
-        target = jnp.where(m4, target, e_target)
-        weight = jnp.where(m4, weight, 0.0)
-        net_new = jnp.where(m4, net_new, e_net)
 
-        edge_conf = jnp.mean(weight, axis=(1, 2, 3))
+        def one_round(_, carry):
+            poses, disps, e_net_c, e_target_c, e_weight_c = carry
 
-        # ---- combine with inactive edges for BA
-        if use_inactive:
-            keep_i = i_mask & (ii_i >= t0 - cfg.graph.inac_range) & (
-                jj_i >= t0 - cfg.graph.inac_range
+            # ---- reproject active edges
+            coords1, _valid = pj.projective_transform(
+                poses, disps, intrinsics, ii, jj
             )
-            ii_all = jnp.concatenate([ii_i, ii])
-            jj_all = jnp.concatenate([jj_i, jj])
-            t_all = jnp.concatenate([it_target, target], axis=0)
-            w_all = jnp.concatenate([it_weight, weight], axis=0)
-            m_all = jnp.concatenate([keep_i, e_mask])
-        else:
-            ii_all, jj_all, t_all, w_all, m_all = ii, jj, target, weight, e_mask
+            motn = jnp.concatenate(
+                [coords1 - grid, e_target_c - coords1], axis=-1
+            ).clip(-64.0, 64.0)
 
-        # ---- confidence heuristics (covisible_graph.py:309-328)
-        wmul = jnp.ones(ii_all.shape, dtype=jnp.float32)
-        imu_f = imu_enabled.astype(jnp.float32)
-        # newest-frame down-weights (always on)
-        max_i = jnp.max(jnp.where(m_all, ii_all, -1))
-        max_j = jnp.max(jnp.where(m_all, jj_all, -1))
-        wmul = wmul * jnp.where(ii_all == max_i, 0.1, 1.0)
-        wmul = wmul * jnp.where(jj_all == max_j, 0.25, 1.0)
-        # short-baseline down-weight (imu mode)
-        if mask_thresh > 0:
-            tnorm = jnp.linalg.norm(
-                lie.se3_rel(poses[jj_all], poses[ii_all])[:, :3], axis=-1
+            # ---- multi-scale correlation lookup, fused over levels
+            corr = corr_ops.lookup_fused(vol, coords1, radius)
+            corr = corr.transpose(0, 2, 3, 1)
+
+            # ---- GRU update
+            aux_full = dict(aux)
+            aux_full.update(coords1=coords1, poses=poses, disps=disps)
+            net_new, delta, weight_up = update_fn(
+                e_net_c, inp_e.astype(e_net_c.dtype),
+                corr.astype(e_net_c.dtype), motn.astype(e_net_c.dtype),
+                ii, jj, aux_full,
             )
-            wmul = wmul * jnp.where(
-                (tnorm < mask_thresh) & (imu_f > 0), 1e-3, 1.0
+            target = coords1 + delta.astype(jnp.float32)
+            weight = weight_up.astype(jnp.float32)
+            m4 = e_mask[:, None, None, None]
+            target = jnp.where(m4, target, e_target_c)
+            weight = jnp.where(m4, weight, 0.0)
+            net_new = jnp.where(m4, net_new, e_net_c)
+
+            # ---- combine with inactive edges for BA
+            if use_inactive:
+                keep_i = i_mask & (ii_i >= t0 - cfg.graph.inac_range) & (
+                    jj_i >= t0 - cfg.graph.inac_range
+                )
+                ii_all = jnp.concatenate([ii_i, ii])
+                jj_all = jnp.concatenate([jj_i, jj])
+                t_all = jnp.concatenate([it_target, target], axis=0)
+                w_all = jnp.concatenate([it_weight, weight], axis=0)
+                m_all = jnp.concatenate([keep_i, e_mask])
+            else:
+                ii_all, jj_all, t_all, w_all, m_all = (
+                    ii, jj, target, weight, e_mask
+                )
+
+            # ---- confidence heuristics (covisible_graph.py:309-328)
+            wmul = jnp.ones(ii_all.shape, dtype=jnp.float32)
+            imu_f = imu_enabled.astype(jnp.float32)
+            max_i = jnp.max(jnp.where(m_all, ii_all, -1))
+            max_j = jnp.max(jnp.where(m_all, jj_all, -1))
+            wmul = wmul * jnp.where(ii_all == max_i, 0.1, 1.0)
+            wmul = wmul * jnp.where(jj_all == max_j, 0.25, 1.0)
+            if mask_thresh > 0:
+                tnorm = jnp.linalg.norm(
+                    lie.se3_rel(poses[jj_all], poses[ii_all])[:, :3], axis=-1
+                )
+                wmul = wmul * jnp.where(
+                    (tnorm < mask_thresh) & (imu_f > 0), 1e-3, 1.0
+                )
+            w_ba = w_all * wmul[:, None, None, None]
+            if far_thresh > 0:
+                pixmask = (disps[ii_all] < far_thresh)[..., None] & (imu_f > 0)
+                w_ba = jnp.where(pixmask, w_ba * 1e-3, w_ba)
+
+            # ---- window-local BA
+            poses_w = jax.lax.dynamic_slice(poses, (s0, 0), (P, 7))
+            disps_w = jax.lax.dynamic_slice(
+                disps, (s0, 0, 0), (P,) + disps.shape[1:]
             )
-        w_ba = w_all * wmul[:, None, None, None]
-        if far_thresh > 0:
-            pixmask = (disps[ii_all] < far_thresh)[..., None] & (imu_f > 0)
-            w_ba = jnp.where(pixmask, w_ba * 1e-3, w_ba)
+            damping_w = jax.lax.dynamic_slice(
+                damping, (s0, 0, 0), (P,) + damping.shape[1:]
+            )
+            eta = 0.2 * damping_w.reshape(P, -1) + EP
 
-        # ---- window-local BA
-        poses_w = jax.lax.dynamic_slice(poses, (s0, 0), (P, 7))
-        disps_w = jax.lax.dynamic_slice(
-            disps, (s0, 0, 0), (P,) + disps.shape[1:]
+            in_window = (ii_all >= s0) & (jj_all >= s0)
+            m_ba = m_all & in_window
+            ii_w = jnp.clip(ii_all - s0, 0, P - 1)
+            jj_w = jnp.clip(jj_all - s0, 0, P - 1)
+
+            state = dba.ba(
+                poses_w, disps_w, intrinsics, t_all, w_ba, eta, ii_w, jj_w,
+                m_ba, t0 - s0, t1 - s0, iterations=iters,
+                lm=cfg.ba.lm, ep=cfg.ba.ep,
+            )
+
+            poses = jax.lax.dynamic_update_slice(poses, state.poses, (s0, 0))
+            disps = jax.lax.dynamic_update_slice(
+                disps, state.disps, (s0, 0, 0)
+            )
+            return poses, disps, net_new, target, weight
+
+        poses, disps, e_net, e_target, e_weight = jax.lax.fori_loop(
+            0, rounds, one_round, (poses, disps, e_net, e_target, e_weight)
         )
-        damping_w = jax.lax.dynamic_slice(
-            damping, (s0, 0, 0), (P,) + damping.shape[1:]
-        )
-        eta = 0.2 * damping_w.reshape(P, -1) + EP
-
-        in_window = (ii_all >= s0) & (jj_all >= s0)
-        m_ba = m_all & in_window
-        ii_w = jnp.clip(ii_all - s0, 0, P - 1)
-        jj_w = jnp.clip(jj_all - s0, 0, P - 1)
-
-        state = dba.ba(
-            poses_w, disps_w, intrinsics, t_all, w_ba, eta, ii_w, jj_w, m_ba,
-            t0 - s0, t1 - s0, iterations=iters,
-            lm=cfg.ba.lm, ep=cfg.ba.ep,
-        )
-
-        poses = jax.lax.dynamic_update_slice(poses, state.poses, (s0, 0))
-        disps = jax.lax.dynamic_update_slice(disps, state.disps, (s0, 0, 0))
-
+        edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
         return UpdateResult(
-            edges=EdgeArrays(net_new, target, weight),
+            edges=EdgeArrays(e_net, e_target, e_weight),
             poses=poses,
             disps=disps,
             edge_conf=edge_conf,
@@ -222,7 +232,7 @@ def make_update_kernel(
     # donate: poses(0), disps(1), e_net(6), e_target(7), e_weight(8)
     return jax.jit(
         kernel,
-        static_argnames=("iters", "use_inactive"),
+        static_argnames=("iters", "use_inactive", "rounds"),
         donate_argnums=(0, 1, 6, 7, 8),
     )
 
@@ -259,7 +269,7 @@ class CovisibleGraph:
         self.w_inac = jnp.zeros((self.i_cap, h8, w8, 2), dtype=jnp.float32)
 
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
-        self.last_conf = np.zeros(self.e_cap, dtype=np.float32)
+        self._conf_dev = None
         self.aux = {}  # traced pytree forwarded to update_fn each call
 
     # ------------------------------------------------------------------
@@ -382,6 +392,12 @@ class CovisibleGraph:
         perm[: len(keep_idx)] = keep_idx
         self._apply_rebuild(perm, np.zeros(self.e_cap, dtype=bool))
 
+    @property
+    def last_conf(self) -> np.ndarray:
+        if self._conf_dev is None:
+            return np.zeros(self.e_cap, dtype=np.float32)
+        return np.asarray(self._conf_dev)
+
     def filter_edges(self):
         """Quarantine low-confidence long-range edges (covisible_graph.py:88-95)."""
         conf = self.last_conf[: self.n]
@@ -451,8 +467,10 @@ class CovisibleGraph:
         t1: Optional[int] = None,
         iters: int = 2,
         use_inactive: bool = False,
+        rounds: int = 1,
     ):
-        """One fused update round (covisible_graph.py:213-342)."""
+        """``rounds`` fused update rounds in one jit region
+        (covisible_graph.py:213-342 per round)."""
         if self.n == 0:
             return
         if t0 is None:
@@ -480,13 +498,13 @@ class CovisibleGraph:
             jnp.asarray(s0, dtype=jnp.int32),
             jnp.asarray(self.video.imu_enabled, dtype=bool),
             self.aux,
-            iters=iters, use_inactive=use_inactive,
+            iters=iters, use_inactive=use_inactive, rounds=rounds,
         )
         self.edges = res.edges
         self.video.poses = res.poses
         self.video.disps = res.disps
-        self.last_conf = np.asarray(res.edge_conf)
-        self.age += 1
+        self._conf_dev = res.edge_conf  # pulled lazily (host sync is ~25 ms)
+        self.age += rounds
 
     # ------------------------------------------------------------------
     def add_neighborhood_factors(self, t0: int, t1: int, r: int = 3):

@@ -31,12 +31,9 @@ def make_gate(update_fn: Callable):
     @jax.jit
     def gate(fmap_kf, fmap_cur, net_kf, inp_kf):
         H, W = fmap_kf.shape[0], fmap_kf.shape[1]
-        f1 = fmap_kf.transpose(2, 0, 1)[None]
-        f2 = fmap_cur.transpose(2, 0, 1)[None]
-        vol = corr_ops.build_volume(f1, f2)
-        pyr = corr_ops.build_pyramid(vol)
+        vol = corr_ops.build_volume_nhwc(fmap_kf[None], fmap_cur[None])
         coords0 = pj.coords_grid(H, W)[None]
-        corr = corr_ops.lookup_pyramid(pyr, coords0).transpose(0, 2, 3, 1)
+        corr = corr_ops.lookup_fused(vol, coords0).transpose(0, 2, 3, 1)
         zero_motn = jnp.zeros((1, H, W, 4), dtype=net_kf.dtype)
         ii = jnp.zeros((1,), dtype=jnp.int32)
         _, delta, _ = update_fn(

@@ -20,8 +20,8 @@ class GraphConfig:
     """Covisibility-graph shape & edge-selection knobs."""
 
     max_factors: int = 48            # active-edge budget (demo_vio_tumvi.py:87)
-    edge_capacity: int = 96          # static padded edge-array size
-    inactive_capacity: int = 96      # static padded inactive-edge store
+    edge_capacity: int = 64          # static padded edge-array size
+    inactive_capacity: int = 64      # static padded inactive-edge store
     frontend_window: int = 5         # proximity window (demo:98)
     frontend_radius: int = 2         # forced radius edges (demo:99)
     frontend_nms: int = 1            # NMS suppression radius (demo:100)

@@ -208,6 +208,29 @@ def test_motion_only_keeps_disps(rng):
     assert r1 < r0
 
 
+def test_pairwise_schur_matches_dense(rng):
+    poses_gt, disps_gt, intr, ii, jj, targets, weights = make_problem(rng)
+    P = poses_gt.shape[0]
+    ht, wd = disps_gt.shape[-2:]
+    xi = jnp.asarray(rng.normal(size=(P, 6)) * 0.02, dtype=jnp.float32)
+    poses = lie.se3_retr(poses_gt, xi)
+    disps = disps_gt * jnp.asarray(
+        1 + 0.05 * rng.normal(size=disps_gt.shape), dtype=jnp.float32
+    )
+    eta = jnp.full((P, ht * wd), 1e-4, dtype=jnp.float32)
+    mask = jnp.ones(ii.shape, dtype=bool)
+    args = (poses, disps, intr, targets, weights, eta, ii, jj, mask,
+            jnp.asarray(1), jnp.asarray(P))
+    out_d = dba.ba(*args, iterations=2, schur="dense")
+    out_p = dba.ba(*args, iterations=2, schur="pairwise")
+    np.testing.assert_allclose(
+        np.asarray(out_d.poses), np.asarray(out_p.poses), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.disps), np.asarray(out_p.disps), atol=2e-4
+    )
+
+
 def test_reduced_system_is_symmetric(rng):
     poses_gt, disps_gt, intr, ii, jj, targets, weights = make_problem(rng)
     P = poses_gt.shape[0]
