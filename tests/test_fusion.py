@@ -1,0 +1,213 @@
+"""Fusion-layer tests: preintegration vs analytic motion, factor Jacobians
+vs numerical differentiation, LM convergence on synthetic IMU+GPS fusion,
+and marginalization equivalence.
+"""
+
+import numpy as np
+import pytest
+
+from dbaf_tpu.fusion.factors import (
+    B, V, X,
+    BetweenVec, CombinedImuFactor, GPSFactor, LinearContainerFactor, Noise,
+    PriorPose, PriorVec, VelFactor,
+)
+from dbaf_tpu.fusion.graph import (
+    FactorGraph, LevenbergMarquardt, Values, marginalize_out,
+)
+from dbaf_tpu.fusion.preintegration import ImuParams, NavState, PreintegratedImu
+from dbaf_tpu.fusion.se3np import Pose, so3_exp
+
+
+def analytic_motion(t):
+    """Smooth trajectory: position, velocity, acceleration, attitude, rates."""
+    p = np.array([np.sin(t), 0.5 * np.cos(2 * t), 0.1 * t])
+    v = np.array([np.cos(t), -np.sin(2 * t), 0.1])
+    a = np.array([-np.sin(t), -2 * np.cos(2 * t), 0.0])
+    w = np.array([0.3 * np.sin(t), 0.2, 0.1 * np.cos(t)])  # body rates
+    return p, v, a, w
+
+
+def simulate_imu(t0, t1, dt, params):
+    """Generate perfect IMU for the analytic motion; returns samples and
+    boundary states."""
+    g = params.g_vec
+    R = np.eye(3)
+    ts = np.arange(t0, t1 + dt / 2, dt)
+    Rs = [R]
+    for k in range(len(ts) - 1):
+        _, _, _, w = analytic_motion(ts[k])
+        R = R @ so3_exp(w * dt)
+        Rs.append(R)
+    samples = []
+    for k in range(len(ts) - 1):
+        p, v, a, w = analytic_motion(ts[k])
+        acc_body = Rs[k].T @ (a - g)
+        samples.append((acc_body, w, dt))
+    p0, v0, _, _ = analytic_motion(t0)
+    p1, v1, _, _ = analytic_motion(t1)
+    return samples, NavState(Pose(Rs[0], p0), v0), NavState(Pose(Rs[-1], p1), v1)
+
+
+def test_preintegration_predicts_analytic_motion():
+    params = ImuParams()
+    dt = 1.0 / 2000.0
+    samples, s0, s1 = simulate_imu(0.0, 0.5, dt, params)
+    pim = PreintegratedImu(params)
+    for acc, w, d in samples:
+        pim.integrate(acc, w, d)
+    pred = pim.predict(s0, np.zeros(6))
+    np.testing.assert_allclose(pred.pose.t, s1.pose.t, atol=2e-3)
+    np.testing.assert_allclose(pred.vel, s1.vel, atol=2e-3)
+    np.testing.assert_allclose(pred.pose.R, s1.pose.R, atol=2e-3)
+
+
+def test_preintegration_bias_correction_first_order():
+    params = ImuParams()
+    dt = 1.0 / 500.0
+    samples, s0, s1 = simulate_imu(0.0, 0.3, dt, params)
+    bias = np.array([0.05, -0.03, 0.02, 0.004, -0.003, 0.002])
+
+    # integrate with measurements corrupted by the bias, then correct
+    pim = PreintegratedImu(params, bias=np.zeros(6))
+    for acc, w, d in samples:
+        pim.integrate(acc + bias[:3], w + bias[3:], d)
+    pred_corr = pim.predict(s0, bias)
+    np.testing.assert_allclose(pred_corr.pose.t, s1.pose.t, atol=5e-3)
+    np.testing.assert_allclose(pred_corr.vel, s1.vel, atol=5e-3)
+
+
+def numeric_jacobian(f, x, retract, dim, eps=1e-6):
+    r0 = f(x)
+    J = np.zeros((len(r0), dim))
+    for k in range(dim):
+        d = np.zeros(dim)
+        d[k] = eps
+        J[:, k] = (f(retract(x, d)) - r0) / eps
+    return J
+
+
+def make_states(rng):
+    xi = rng.normal(size=6) * 0.3
+    Ti = Pose.expmap(xi)
+    Tj = Ti.retract(rng.normal(size=6) * 0.2)
+    vi = rng.normal(size=3)
+    vj = vi + rng.normal(size=3) * 0.2
+    bi = rng.normal(size=6) * 0.01
+    bj = bi + rng.normal(size=6) * 0.001
+    return Values({X(0): Ti, V(0): vi, X(1): Tj, V(1): vj, B(0): bi, B(1): bj})
+
+
+@pytest.mark.parametrize("which", ["imu", "gps", "vel", "prior"])
+def test_factor_jacobians_vs_numeric(rng, which):
+    params = ImuParams()
+    samples, _, _ = simulate_imu(0.0, 0.2, 1e-3, params)
+    pim = PreintegratedImu(params)
+    for acc, w, d in samples:
+        pim.integrate(acc, w, d)
+
+    vals = make_states(rng)
+    if which == "imu":
+        f = CombinedImuFactor(X(0), V(0), X(1), V(1), B(0), B(1), pim)
+    elif which == "gps":
+        f = GPSFactor(X(0), rng.normal(size=3), Noise.sigmas([1, 1, 5]))
+    elif which == "vel":
+        f = VelFactor(X(0), V(0), rng.normal(size=3), Noise.sigmas([2, 2, 2]))
+    else:
+        f = PriorPose(X(0), Pose.expmap(rng.normal(size=6) * 0.2),
+                      Noise.sigmas([0.1] * 6))
+
+    r, J = f.error_and_jacobians(vals)
+    for key, Jk in J.items():
+        x = vals[key]
+        dim = 6 if isinstance(x, Pose) else len(x)
+
+        def fk(xk):
+            v2 = Values(vals)
+            v2[key] = xk
+            return f.error_and_jacobians(v2)[0]
+
+        retract = (lambda x_, d: x_.retract(d)) if isinstance(x, Pose) else (
+            lambda x_, d: x_ + d
+        )
+        Jn = numeric_jacobian(fk, x, retract, dim)
+        np.testing.assert_allclose(Jk, Jn, atol=5e-4, rtol=5e-3)
+
+
+def test_lm_imu_gps_fusion(rng):
+    """Recover a trajectory from IMU + GPS with LM."""
+    params = ImuParams(accel_noise=0.05, gyro_noise=0.005)
+    n_kf = 6
+    dt_kf = 0.4
+    graph = FactorGraph()
+    values = Values()
+    truth = []
+
+    for k in range(n_kf):
+        t = k * dt_kf
+        p, v, _, _ = analytic_motion(t)
+        samples, s0, s1 = simulate_imu(t, t + dt_kf, 1e-3, params)
+        if k == 0:
+            truth.append((s0.pose, s0.vel))
+        truth.append((s1.pose, s1.vel))
+        pim = PreintegratedImu(params)
+        for acc, w, d in samples:
+            pim.integrate(acc, w, d)
+        graph.add(CombinedImuFactor(X(k), V(k), X(k + 1), V(k + 1), B(k), B(k + 1), pim))
+
+    for k in range(n_kf + 1):
+        pose_gt, vel_gt = truth[k]
+        graph.add(GPSFactor(X(k), pose_gt.t + rng.normal(size=3) * 0.01,
+                            Noise.sigmas([0.05] * 3)))
+        # perturbations as initial guesses
+        values[X(k)] = pose_gt.retract(rng.normal(size=6) * 0.1)
+        values[V(k)] = vel_gt + rng.normal(size=3) * 0.3
+        values[B(k)] = np.zeros(6)
+    graph.add(PriorPose(X(0), truth[0][0], Noise.sigmas([0.01] * 6)))
+    graph.add(PriorVec(B(0), np.zeros(6), Noise.sigmas([0.1] * 6)))
+
+    result = LevenbergMarquardt(graph, values).optimize()
+    # the optimum fits the (noisy GPS + discretized IMU) data better than
+    # the analytic truth; errors land at the GPS-noise scale
+    assert graph.error(result) < 100.0
+    for k in range(n_kf + 1):
+        err_p = np.linalg.norm(result[X(k)].t - truth[k][0].t)
+        err_v = np.linalg.norm(result[V(k)] - truth[k][1])
+        assert err_p < 0.15, (k, err_p)
+        assert err_v < 0.8, (k, err_v)
+
+
+def test_marginalize_out_equivalence(rng):
+    """On a Gaussian chain, marginalizing interior states then solving must
+    equal the full solve restricted to kept states."""
+    n = 5
+    graph = FactorGraph()
+    values = Values({V(k): np.zeros(3) for k in range(n)})
+    targets = [rng.normal(size=3) for _ in range(n)]
+    for k in range(n):
+        graph.add(PriorVec(V(k), targets[k], Noise.sigmas([1.0] * 3)))
+    for k in range(n - 1):
+        graph.add(BetweenVec(V(k), V(k + 1), rng.normal(size=3) * 0.1,
+                             Noise.sigmas([0.5] * 3)))
+
+    full = LevenbergMarquardt(graph, values).optimize()
+
+    # marginalize the subgraph touching the removed keys (the marginal
+    # absorbs ALL information in the graph passed in, like gtsam)
+    removed = {V(0), V(1)}
+    sub = FactorGraph([f for f in graph.factors if any(k in removed for k in f.keys)])
+    marg = marginalize_out(sub, values, [V(0), V(1)])
+    graph2 = FactorGraph([marg])
+    for f in graph.factors:
+        if all(k not in removed for k in f.keys):
+            graph2.add(f)
+    reduced = LevenbergMarquardt(graph2, Values({V(k): np.zeros(3) for k in range(2, n)})).optimize()
+    for k in range(2, n):
+        np.testing.assert_allclose(reduced[V(k)], full[V(k)], atol=1e-5)
+
+
+def test_linear_container_rekey(rng):
+    lp = {V(0): np.zeros(3), V(1): np.ones(3)}
+    f = LinearContainerFactor([V(0), V(1)], [3, 3], np.eye(6), np.zeros(6), lp)
+    g = f.rekey({V(0): V(5), V(1): V(6)})
+    assert g.keys == (V(5), V(6))
+    assert V(5) in g.lin_point
