@@ -491,6 +491,62 @@ def back_substitute_pairwise(
     return (1.0 / ps.C) * (ps.w - acc)
 
 
+# ---------------------------------------------------------------------------
+# multi-sensor coupling surface (the BACore capability,
+# /root/reference/src/bacore.h:4-70, droid_kernels.cu:1786-1956)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("use_sens", "alpha"))
+def coupled_hessian(
+    poses_w, disps_w, intrinsics, targets, weights, eta, ii_w, jj_w, mask,
+    nactive, disps_sens=None, use_sens: bool = False, alpha: float = 0.001,
+):
+    """Undamped reduced camera system over the window (BACore::hessian).
+
+    All window slots [0, nactive) are free poses (the coupled graph anchors
+    the gauge through priors/marginal); the caller converts (S, v) to the
+    body frame and couples them into the factor graph.  alpha defaults to
+    the BACore value 0.001 (droid_kernels.cu:1873).
+    """
+    P = poses_w.shape[0]
+    es = build_edge_system(
+        poses_w, disps_w, intrinsics, targets, weights, ii_w, jj_w, mask
+    )
+    ps = assemble_pairwise(
+        es, ii_w, jj_w, P, jnp.asarray(0), nactive, eta,
+        disps=disps_w if use_sens else None,
+        disps_sens=disps_sens if use_sens else None,
+        alpha=alpha,
+    )
+    return ps.S, ps.v
+
+
+@jax.jit
+def coupled_retract(
+    poses_w, disps_w, intrinsics, targets, weights, eta, ii_w, jj_w, mask,
+    nactive, dx,
+):
+    """Apply an externally-solved pose step and the induced depth update
+    (BACore::retract, droid_kernels.cu:1918-1956).
+
+    Recomputes the linearization at the (unchanged) current state instead of
+    caching E/Q/w -- stateless and a few ms on the MXU.
+    """
+    P = poses_w.shape[0]
+    es = build_edge_system(
+        poses_w, disps_w, intrinsics, targets, weights, ii_w, jj_w, mask
+    )
+    ps = assemble_pairwise(es, ii_w, jj_w, P, jnp.asarray(0), nactive, eta)
+    dz = back_substitute_pairwise(
+        ps, es, ii_w, jj_w, dx, jnp.asarray(0), nactive
+    )
+    depth_active = jnp.arange(P) < nactive
+    poses_w, disps_w = retract(
+        poses_w, disps_w, dx, dz, ps.pose_active, depth_active
+    )
+    return poses_w, jnp.clip(disps_w, 0.001, None)
+
+
 class BAState(NamedTuple):
     poses: jnp.ndarray  # (P, 7)
     disps: jnp.ndarray  # (P, H, W)

@@ -1,0 +1,395 @@
+"""Tightly-coupled multi-sensor DBA: dense-BA Hessians inside the factor graph.
+
+Port of the reference's multi-sensor BA path
+(/root/reference/dbaf/depth_video.py:347-559) onto the native stack: the
+reduced camera system comes from the device (``dba.coupled_hessian``, a few
+hundred KB), the IMU/GNSS/odometry/prior/marginal factor graph is solved on
+host in f64, and the pose step is pushed back for the device-side depth
+back-substitution and retraction (``dba.coupled_retract``).
+
+Sliding-window marginalization converts out-of-window visual+inertial+GNSS
+information into a linear-container prior (depth_video.py:350-459),
+including the bias-covariance reinflation path (:446-459).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fusion.coupling import convert_dx, convert_hessian, hessian_factor
+from ..fusion.factors import (
+    B, V, X,
+    BetweenVec, CombinedImuFactor, GPSFactor, Noise, PriorPose, PriorVec,
+    VelFactor,
+)
+from ..fusion.graph import FactorGraph, LevenbergMarquardt, Values, marginalize_out
+from ..fusion.se3np import Pose
+from ..ops import dba
+from ..utils import geodesy
+from ..utils.config import DBAFusionConfig
+from .multisensor import MultiSensorState
+from .video import DepthVideo
+
+GNSS_NOISE = Noise.sigmas([1.0, 1.0, 5.0], cauchy_k=0.08)  # depth_video.py:288-290
+ODO_NOISE = Noise.sigmas([2.0, 2.0, 2.0])  # depth_video.py:300
+
+
+class MultiSensorBA:
+    """Owns the factor-graph state and drives the coupled iterations."""
+
+    def __init__(self, video: DepthVideo, cfg: DBAFusionConfig):
+        self.video = video
+        self.cfg = cfg
+        self.state = MultiSensorState()
+        self.last_t0 = 0
+        self.last_t1 = 0
+        self.marg_factor = None
+        self.prior_factor_map: Dict[int, list] = {}
+        self.cur_result: Optional[Values] = None
+        self.cur_ii = np.zeros(0, dtype=np.int64)
+        self.cur_jj = np.zeros(0, dtype=np.int64)
+        self.cur_target = None  # device (Ecur, H, W, 2)
+        self.cur_weight = None
+        self.ignore_imu = False
+
+        # extrinsics / georeferencing (set by the app)
+        self.Tbc = Pose()          # body <- camera
+        self.tbg = np.zeros(3)     # GNSS lever arm in body
+        self.ten0 = None           # ECEF reference
+        self.gnss_init_t1 = -1
+        self.gnss_init_time = 0.0
+        self.vi_init_t1 = -1
+        self.vi_init_time = 0.0
+        self.reinit = False
+        self.init_pose_sigma = np.array([0.1, 0.1, 0.0001, 0.0001, 0.0001, 0.0001])
+        self.init_bias_sigma = np.array([1.0, 1.0, 1.0, 0.1, 0.1, 0.1])
+
+    # ------------------------------------------------------------------
+    def set_prior(self, t0: int, t1: int):
+        """Anchor priors on the first two window states (depth_video.py:307-321).
+
+        ``init_pose_sigma`` may be a (2, 6) array giving per-state sigmas
+        (the WHU no-GNSS mode, demo_vio_whu.py:203-205)."""
+        for i in range(t0, t0 + 2):
+            sig = self.init_pose_sigma
+            if np.ndim(sig) > 1:
+                sig = sig[i - t0]
+            fs = [PriorPose(X(i), self.state.wTbs[i], Noise.sigmas(sig))]
+            if not self.ignore_imu:
+                fs.append(PriorVec(B(i), self.state.bs[i], Noise.sigmas(self.init_bias_sigma)))
+            self.prior_factor_map[i] = fs
+        self.last_t0 = t0
+        self.last_t1 = t1
+
+    def _gnss_factor(self, i: int) -> GPSFactor:
+        """GPS factor with ECEF->local conversion + lever arm
+        (depth_video.py:504-514)."""
+        p = geodesy.Cen(self.ten0).T @ (self.state.gnss_position[i] - self.ten0)
+        p = p - self.state.wTbs[i].R @ self.tbg
+        return GPSFactor(X(i), p, GNSS_NOISE)
+
+    def rm_new_gnss(self, t1: int):
+        """Re-link GNSS/odometry measurements of a culled keyframe onto its
+        predecessor inside the marginal (depth_video.py:272-304)."""
+        has_gnss = self.gnss_init_t1 > 0 and self.state.gnss_valid[t1]
+        has_odo = self.state.odo_valid[t1]
+        if not (has_gnss or has_odo) or self.marg_factor is None:
+            return
+        graph = FactorGraph([self.marg_factor])
+        values = Values(self.marg_factor.lin_point)
+        if has_gnss:
+            T1, T0 = self.state.wTbs[t1], self.state.wTbs[t1 - 1]
+            p = geodesy.Cen(self.ten0).T @ (self.state.gnss_position[t1] - self.ten0)
+            p = p - self.state.wTbs[t1].R @ self.tbg
+            p = p - T1.t + T0.t
+            if X(t1 - 1) not in values:
+                values[X(t1 - 1)] = self.cur_result[X(t1 - 1)]
+            graph.add(GPSFactor(X(t1 - 1), p, GNSS_NOISE))
+        if has_odo:
+            v1 = self.state.wTbs[t1].R.T @ self.state.vs[t1]
+            v0 = self.state.wTbs[t1 - 1].R.T @ self.state.vs[t1 - 1]
+            v = self.state.odo_vel[t1] - v1 + v0
+            if X(t1 - 1) not in values:
+                values[X(t1 - 1)] = self.cur_result[X(t1 - 1)]
+            if V(t1 - 1) not in values:
+                values[V(t1 - 1)] = self.cur_result[V(t1 - 1)]
+            graph.add(VelFactor(X(t1 - 1), V(t1 - 1), v, ODO_NOISE))
+        self.marg_factor = graph.linearize_to_hessian(values)
+
+    # ------------------------------------------------------------------
+    def _window(self, s0: int):
+        P = self.cfg.ba.window
+        poses_w = jax.lax.dynamic_slice(self.video.poses, (s0, 0), (P, 7))
+        disps_w = jax.lax.dynamic_slice(
+            self.video.disps, (s0, 0, 0), (P, self.video.h8, self.video.w8)
+        )
+        damp_w = jax.lax.dynamic_slice(
+            self.video.damping, (s0, 0, 0), (P, self.video.h8, self.video.w8)
+        )
+        eta = 0.2 * damp_w.reshape(P, -1) + self.cfg.ba.eps_damping
+        return poses_w, disps_w, eta
+
+    def _vis_hessian(self, ii, jj, target, weight, s0: int, t0: int, t1: int):
+        """Device reduced camera system over window [t0, t1) at slot origin
+        s0=t0; returns host f64 (H, v) of size (t1-t0)*6."""
+        P = self.cfg.ba.window
+        n = len(ii)
+        e_cap = target.shape[0]
+        ii_w = np.clip(np.asarray(ii) - s0, 0, P - 1)
+        jj_w = np.clip(np.asarray(jj) - s0, 0, P - 1)
+        mask = np.zeros(e_cap, dtype=bool)
+        mask[:n] = True
+        ii_pad = np.zeros(e_cap, dtype=np.int32)
+        jj_pad = np.zeros(e_cap, dtype=np.int32)
+        ii_pad[:n] = ii_w
+        jj_pad[:n] = jj_w
+        poses_w, disps_w, eta = self._window(s0)
+        S, v = dba.coupled_hessian(
+            poses_w, disps_w, self.video.intrinsics, target, weight, eta,
+            jnp.asarray(ii_pad), jnp.asarray(jj_pad), jnp.asarray(mask),
+            jnp.asarray(t1 - s0, jnp.int32),
+        )
+        m = (t1 - t0) * 6
+        H = np.asarray(S, dtype=np.float64)[:m, :m]
+        vv = np.asarray(v, dtype=np.float64)[:m]
+        return H, vv
+
+    def _values_for(self, frames) -> Values:
+        vals = Values()
+        for i in frames:
+            vals[X(i)] = self.state.wTbs[i]
+            vals[V(i)] = self.state.vs[i]
+            vals[B(i)] = self.state.bs[i]
+        return vals
+
+    # ------------------------------------------------------------------
+    def _marginalize(self, t0: int, t1: int, itrs: int):
+        """Window-advance marginalization (depth_video.py:350-462)."""
+        marg_idx = (
+            (self.cur_ii >= self.last_t0)
+            & (self.cur_ii < t0)
+            & (self.cur_ii < self.last_t1 - 2)
+            & (self.cur_jj < self.last_t1 - 2)
+        )
+        marg_ii = self.cur_ii[marg_idx]
+        marg_jj = self.cur_jj[marg_idx]
+        marg_paras: List[str] = []
+        graph = FactorGraph()
+        marg_t1 = t0 + 1
+
+        if len(marg_ii) > 0:
+            marg_t1 = int(marg_jj.max()) + 1
+            for i in range(self.last_t0, t0):
+                marg_paras.append(X(i))
+                self.video.archive(i)
+            # visual information of the marginalized edges
+            sel = np.nonzero(marg_idx)[0]
+            e_cap = self.cur_target.shape[0]
+            tgt = jnp.zeros_like(self.cur_target).at[: len(sel)].set(
+                self.cur_target[jnp.asarray(sel)]
+            )
+            wgt = jnp.zeros_like(self.cur_weight).at[: len(sel)].set(
+                self.cur_weight[jnp.asarray(sel)]
+            )
+            H, v = self._vis_hessian(
+                marg_ii, marg_jj, tgt, wgt, self.last_t0, self.last_t0, marg_t1
+            )
+            H[np.arange(6), np.arange(6)] += 0.00025  # stability (:399)
+            Hg, vg = convert_hessian(H, v, self.Tbc)
+            frames = list(range(self.last_t0, marg_t1))
+            vis = hessian_factor(frames, self._values_for(frames), Hg, vg)
+            graph.add(vis)
+
+        for i in range(self.last_t0, marg_t1):
+            if i < t0:
+                if X(i) not in marg_paras:
+                    marg_paras.append(X(i))
+                if not self.ignore_imu:
+                    marg_paras += [V(i), B(i)]
+                    graph.add(
+                        CombinedImuFactor(
+                            X(i), V(i), X(i + 1), V(i + 1), B(i), B(i + 1),
+                            self.state.preintegrations[i],
+                        )
+                    )
+                if self.gnss_init_t1 > 0 and self.state.gnss_valid[i]:
+                    graph.add(self._gnss_factor(i))
+                if self.state.odo_valid[i]:
+                    graph.add(
+                        VelFactor(X(i), V(i), self.state.odo_vel[i], ODO_NOISE)
+                    )
+
+        for i in sorted(list(self.prior_factor_map.keys())):
+            if i < t0:
+                for f in self.prior_factor_map[i]:
+                    graph.add(f)
+            del self.prior_factor_map[i]
+        if self.marg_factor is not None:
+            graph.add(self.marg_factor)
+
+        values = self._values_for(range(self.last_t0, max(marg_t1, t1)))
+        if self.cur_result is not None:
+            for k, val in self.cur_result.items():
+                values[k] = val
+        self.marg_factor = marginalize_out(graph, values, marg_paras)
+
+        # bias-covariance inflation on reinit (depth_video.py:446-459)
+        if self.reinit:
+            mapping = {B(t0): B(0)}
+            rekeyed = self.marg_factor.rekey(mapping)
+            g2 = FactorGraph([rekeyed])
+            g2.add(
+                BetweenVec(B(0), B(t0), np.zeros(6), Noise.sigmas(self.init_bias_sigma))
+            )
+            vals2 = Values(rekeyed.lin_point)
+            vals2[B(t0)] = vals2[B(0)]
+            self.marg_factor = marginalize_out(g2, vals2, [B(0)])
+            self.reinit = False
+
+    # ------------------------------------------------------------------
+    def ba(self, ii_full, jj_full, valid, target, weight, t1: int,
+           itrs: int = 2):
+        """One coupled multi-sensor DBA call (depth_video.py:347-559).
+
+        ii_full/jj_full/valid: host padded edge endpoints + validity (rows
+        aligned with the device target/weight arrays; already combined
+        active+inactive and heuristically weighted).
+        """
+        ii_full = np.asarray(ii_full)
+        jj_full = np.asarray(jj_full)
+        valid = np.asarray(valid, bool)
+        ii = ii_full[valid]
+        jj = jj_full[valid]
+        t0 = int(min(ii.min(), jj.min()))
+
+        if self.last_t1 != t1 or self.last_t0 != t0:
+            if self.last_t0 >= t0:
+                t0 = self.last_t0
+            else:
+                self._marginalize(t0, t1, itrs)
+            self.last_t0 = t0
+            self.last_t1 = t1
+
+        # active subset (positions in the padded device arrays)
+        act = valid & (ii_full >= t0) & (jj_full >= t0)
+        sel = np.nonzero(act)[0]
+        self.cur_ii = ii_full[sel]
+        self.cur_jj = jj_full[sel]
+        e_cap = target.shape[0]
+        tsel = jnp.zeros_like(target).at[: len(sel)].set(target[jnp.asarray(sel)])
+        wsel = jnp.zeros_like(weight).at[: len(sel)].set(weight[jnp.asarray(sel)])
+        self.cur_target = tsel
+        self.cur_weight = wsel
+
+        # build the non-visual graph once
+        base = FactorGraph()
+        if not self.ignore_imu:
+            for i in range(t0 + 1, t1):
+                base.add(
+                    CombinedImuFactor(
+                        X(i - 1), V(i - 1), X(i), V(i), B(i - 1), B(i),
+                        self.state.preintegrations[i - 1],
+                    )
+                )
+        for i in sorted(self.prior_factor_map.keys()):
+            if t0 <= i < t1:
+                for f in self.prior_factor_map[i]:
+                    base.add(f)
+        if self.marg_factor is not None:
+            base.add(self.marg_factor)
+        if self.gnss_init_t1 > 0:
+            for i in range(t0, t1):
+                if self.state.gnss_valid[i]:
+                    base.add(self._gnss_factor(i))
+        for i in range(t0, t1):
+            if self.state.odo_valid[i]:
+                base.add(VelFactor(X(i), V(i), self.state.odo_vel[i], ODO_NOISE))
+
+        P = self.cfg.ba.window
+        for _ in range(2):  # coupled iterations (depth_video.py:524-558)
+            H, v = self._vis_hessian(
+                self.cur_ii, self.cur_jj, self.cur_target, self.cur_weight,
+                t0, t0, t1,
+            )
+            Hg, vg = convert_hessian(H, v, self.Tbc)
+            frames = list(range(t0, t1))
+            initial = self._values_for(frames)
+            graph = FactorGraph(base.factors + [
+                hessian_factor(frames, initial, Hg, vg)
+            ])
+            if self.ignore_imu:
+                for i in frames:
+                    initial.pop(V(i), None)
+                    initial.pop(B(i), None)
+            result = LevenbergMarquardt(graph, initial).optimize()
+            self.cur_result = result
+
+            dx_body = np.zeros((t1 - t0) * 6)
+            for i in frames:
+                xi = self.state.wTbs[i].local(result[X(i)])
+                dx_body[(i - t0) * 6 : (i - t0) * 6 + 6] = xi
+                self.state.wTbs[i] = result[X(i)]
+                if not self.ignore_imu:
+                    self.state.vs[i] = result[V(i)]
+                    self.state.bs[i] = result[B(i)]
+            dx_cam = convert_dx(dx_body, self.Tbc)
+
+            # device retraction
+            n = len(self.cur_ii)
+            ii_pad = np.zeros(e_cap, dtype=np.int32)
+            jj_pad = np.zeros(e_cap, dtype=np.int32)
+            ii_pad[:n] = np.clip(self.cur_ii - t0, 0, P - 1)
+            jj_pad[:n] = np.clip(self.cur_jj - t0, 0, P - 1)
+            mask = np.zeros(e_cap, dtype=bool)
+            mask[:n] = True
+            dx_full = np.zeros((P, 6), dtype=np.float32)
+            dx_full[: t1 - t0] = dx_cam.reshape(-1, 6)
+            poses_w, disps_w, eta = self._window(t0)
+            poses_w, disps_w = dba.coupled_retract(
+                poses_w, disps_w, self.video.intrinsics,
+                self.cur_target, self.cur_weight, eta,
+                jnp.asarray(ii_pad), jnp.asarray(jj_pad), jnp.asarray(mask),
+                jnp.asarray(t1 - t0, jnp.int32), jnp.asarray(dx_full),
+            )
+            self.video.poses = jax.lax.dynamic_update_slice(
+                self.video.poses, poses_w, (t0, 0)
+            )
+            self.video.disps = jax.lax.dynamic_update_slice(
+                self.video.disps, disps_w, (t0, 0, 0)
+            )
+
+    # ------------------------------------------------------------------
+    def rollup(self, roll: int):
+        """Rekey all graph state after a window shift
+        (dbaf_frontend.py:106-151)."""
+        self.last_t0 -= roll
+        self.last_t1 -= roll
+        self.cur_ii = self.cur_ii - roll
+        self.cur_jj = self.cur_jj - roll
+        mapping = {}
+        for i in range(roll, roll + 200):
+            mapping[X(i)] = X(i - roll)
+            mapping[V(i)] = V(i - roll)
+            mapping[B(i)] = B(i - roll)
+        if self.marg_factor is not None:
+            self.marg_factor = self.marg_factor.rekey(mapping)
+        for fs in self.prior_factor_map.values():
+            for f in fs:
+                f.keys = tuple(mapping.get(k, k) for k in f.keys)
+        self.prior_factor_map = {
+            i - roll: fs for i, fs in self.prior_factor_map.items()
+        }
+        if self.cur_result is not None:
+            new_res = Values()
+            for k, val in self.cur_result.items():
+                idx = int(k[1:])
+                new_res[k[0] + str(idx - roll)] = val
+            self.cur_result = new_res
+        self.state.rollup(roll)
+        self.vi_init_t1 -= roll
+        if self.gnss_init_t1 > 0:
+            self.gnss_init_t1 -= roll

@@ -1,21 +1,27 @@
 """Frontend driver: initialization, per-keyframe update, culling, rollup.
 
-Visual-only redesign of /root/reference/dbaf/dbaf_frontend.py:16-863 (the
-multi-sensor coupling lands in :mod:`dbaf_tpu.fusion`; the hooks here --
-``imu_enabled`` flag, pose seeding callback -- mirror the reference's
-integration points).
+Redesign of /root/reference/dbaf/dbaf_frontend.py:16-863 covering both the
+visual-only path and the tightly-coupled multi-sensor path (IMU ingestion,
+IMU-predicted pose seeding, VI/GNSS initialization triggers, preintegration
+merging on keyframe culls, bias reinitialization, high-rate IMU trajectory
+output).
 """
 
 from __future__ import annotations
 
+import bisect
+import math
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
+from ..fusion.se3np import Pose
 from ..ops import lie
+from ..utils import geodesy
 from ..utils.config import DBAFusionConfig
 from .graph import CovisibleGraph
+from .initialization import init_imu_states, init_gnss, visual_imu_alignment
 from .video import DepthVideo
 
 
@@ -37,16 +43,49 @@ class Frontend:
         self.is_initialized = False
         self.count = 0
         self.warmup = fc.warmup
-        self.iters1 = fc.iters1
-        self.iters2 = fc.iters2
+        self.vi_warmup = fc.vi_warmup
         self.max_age = gc.max_age
         self.active_window = fc.active_window
         self.keyframe_thresh = fc.keyframe_thresh
+        self.translation_threshold = fc.translation_threshold
         self.beta = gc.beta
 
-        # trajectory log: (tstamp, Twc 7-vec) per keyframe update
+        # sensor streams (set by the app for multi-sensor runs);
+        # rows: imu [t, gx, gy, gz (deg/s), ax, ay, az]; gnss/odo [t, x, y, z]
+        self.all_imu: Optional[np.ndarray] = None
+        self.all_gnss: np.ndarray = np.zeros((0, 4))
+        self.all_odo: np.ndarray = np.zeros((0, 4))
+        self.all_stamp: Optional[np.ndarray] = None  # full-rate image stamps
+        self.cur_imu_ii = 0
+        self.cur_stamp_ii = 0
+        self.visual_only = True
+        self.visual_only_init = False
+        self.use_zupt = cfg.sensors.use_zupt
+        self.high_freq_output = True
+
+        if self.visual_only:
+            self.iters1, self.iters2 = fc.iters1, fc.iters2
+        else:
+            self.iters1, self.iters2 = 2, 1
+
+        # trajectory log: (tstamp, Twb or Twc 7-vec [x y z qx qy qz qw])
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.did_rollup = False
+
+    # ------------------------------------------------------------------
+    def set_multisensor(self, all_imu, all_gnss=None, all_odo=None,
+                        all_stamp=None, visual_only=False):
+        self.all_imu = np.asarray(all_imu) if all_imu is not None else None
+        self.all_gnss = np.asarray(all_gnss) if all_gnss is not None else np.zeros((0, 4))
+        self.all_odo = np.asarray(all_odo) if all_odo is not None else np.zeros((0, 4))
+        self.all_stamp = all_stamp
+        self.visual_only = visual_only
+        if not visual_only:
+            self.iters1, self.iters2 = 2, 1
+
+    @property
+    def coupled(self):
+        return self.graph.coupled
 
     # ------------------------------------------------------------------
     def __call__(self):
@@ -57,11 +96,15 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def _initialize(self):
-        """dbaf_frontend.py:816-851 (visual-only rounds)."""
+        """dbaf_frontend.py:816-851."""
         self.t0 = 0
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
+        if self.all_imu is not None and self.coupled is not None:
+            init_imu_states(self, self.all_imu, self.all_gnss, self.all_odo)
+
+        self.video.imu_enabled = False
         self.graph.update(1, use_inactive=True, rounds=self.cfg.frontend.init_iters)
 
         self.graph.add_proximity_factors(
@@ -83,18 +126,97 @@ class Frontend:
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
 
     # ------------------------------------------------------------------
+    def _ingest_sensors(self, cur_t: float):
+        """IMU drain + GNSS/ZUPT/odo attachment (dbaf_frontend.py:162-220)."""
+        state = self.coupled.state
+        while self.all_imu[self.cur_imu_ii][0] < cur_t:
+            imu = self.all_imu[self.cur_imu_ii]
+            # high-frequency IMU-rate output between keyframes
+            if self.high_freq_output and self.video.imu_enabled and \
+                    self.all_stamp is not None:
+                while (self.cur_stamp_ii < len(self.all_stamp)
+                       and imu[0] > float(self.all_stamp[self.cur_stamp_ii][0])):
+                    st = float(self.all_stamp[self.cur_stamp_ii][0])
+                    state.append_imu_temp(st, imu[4:7], np.deg2rad(imu[1:4]), True)
+                    if (st > state.timestamps[-1]
+                            and abs(cur_t - st) > 1e-3 and state.pose_temp):
+                        T = state.pose_temp.pose
+                        self._write_traj_row(st, T)
+                    self.cur_stamp_ii += 1
+                state.append_imu_temp(imu[0], imu[4:7], np.deg2rad(imu[1:4]))
+            state.append_imu(imu[0], imu[4:7], np.deg2rad(imu[1:4]))
+            self.cur_imu_ii += 1
+
+        imu = self.all_imu[self.cur_imu_ii]
+        state.append_imu(cur_t, imu[4:7], np.deg2rad(imu[1:4]))
+        state.append_img(cur_t)
+
+        if len(self.all_gnss) > 0:
+            g = bisect.bisect(list(self.all_gnss[:, 0]), cur_t - 1e-6)
+            if 0 < g < len(self.all_gnss) and self.all_gnss[g, 0] - cur_t < 0.01:
+                state.append_gnss(cur_t, self.all_gnss[g, 1:4])
+
+        if self.use_zupt and len(state.preintegrations) > 2 and \
+                state.preintegrations[self.t1 - 3].dt > 3.0:
+            if np.linalg.norm(state.vs[self.t1 - 2]) < 0.025:
+                state.append_odo(cur_t, np.zeros(3))
+
+        if len(self.all_odo) > 0:
+            o = bisect.bisect(list(self.all_odo[:, 0]), cur_t - 1e-6)
+            if 0 < o < len(self.all_odo) and self.all_odo[o, 0] - cur_t < 0.01:
+                state.append_odo(cur_t, self.all_odo[o, 1:4])
+
+        imu = self.all_imu[self.cur_imu_ii]
+        state.append_imu(imu[0], imu[4:7], np.deg2rad(imu[1:4]))
+        self.cur_imu_ii += 1
+
+    def _write_traj_row(self, t: float, T: Pose):
+        q = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(T.matrix(), jnp.float32))
+        )
+        self.trajectory.append((t, q))
+
+    # ------------------------------------------------------------------
     def _update(self):
-        """dbaf_frontend.py:153-375 (visual-only path)."""
+        """dbaf_frontend.py:153-375."""
         self.count += 1
         self.t1 += 1
         fc = self.cfg.frontend
+        multisensor = self.all_imu is not None and self.coupled is not None
 
-        # edge lifecycle (dbaf_frontend.py:233-239)
+        cur_t = float(self.video.tstamp[self.t1 - 1])
+
+        if multisensor:
+            # bias reinit 5 s after VI init (dbaf_frontend.py:158-160)
+            if self.video.imu_enabled and \
+                    cur_t - self.coupled.vi_init_time > 5.0:
+                self.coupled.reinit = True
+                self.coupled.vi_init_time = 1e9
+            self._ingest_sensors(cur_t)
+
+            # IMU-predicted pose seed (dbaf_frontend.py:222-228)
+            if self.video.imu_enabled:
+                Twc = self.coupled.state.wTbs[-1].compose(self.coupled.Tbc)
+                Tcw = np.linalg.inv(Twc.matrix())
+                self.video.set_pose(
+                    self.t1 - 1,
+                    jnp.asarray(
+                        np.asarray(lie.se3_from_matrix(jnp.asarray(Tcw, jnp.float32)))
+                    ),
+                )
+
+        # edge lifecycle (dbaf_frontend.py:233-242)
         if self.graph.n > 0:
-            stale = (self.graph.age > self.max_age) & (
-                (self.graph.ii < self.t1 - self.active_window)
-                | (self.graph.jj < self.t1 - self.active_window)
-            )
+            if self.visual_only:
+                stale = (self.graph.age > self.max_age) & (
+                    (self.graph.ii < self.t1 - self.active_window)
+                    | (self.graph.jj < self.t1 - self.active_window)
+                )
+            else:
+                stale = (self.graph.age > self.max_age) | (
+                    (self.graph.ii < self.t1 - self.active_window)
+                    | (self.graph.jj < self.t1 - self.active_window)
+                )
             self.graph.rm_factors(stale, store=True)
 
         self.graph.add_proximity_factors(
@@ -115,24 +237,54 @@ class Frontend:
             roll = fc.rollup_shift
             self.video.rollup(roll)
             self.graph.shift_indices(roll)
+            if self.coupled is not None and len(self.coupled.state) > 0:
+                self.coupled.rollup(roll)
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True
 
-        # trajectory output (camera-to-world)
-        cur_t = float(self.video.tstamp[self.t1 - 1])
-        Twc = np.asarray(lie.se3_inv(self.video.poses[self.t1 - 1]))
-        self.trajectory.append((cur_t, Twc))
+        # trajectory output
+        if multisensor and self.video.imu_enabled:
+            self._write_traj_row(cur_t, self.coupled.state.wTbs[self.t1 - 1])
+        else:
+            Twc = np.asarray(lie.se3_inv(self.video.poses[self.t1 - 1]))
+            self.trajectory.append((cur_t, Twc))
 
         # keyframe cull decision (dbaf_frontend.py:317-353)
         d = float(
             self.video.distance([self.t1 - 3], [self.t1 - 2], beta=self.beta)[0]
         )
-        if d < self.keyframe_thresh:
+        cull = d < self.keyframe_thresh
+        if multisensor and self.video.imu_enabled and not cull:
+            # translation hysteresis (dbaf_frontend.py:319-325)
+            lo = self.t1 - 10 if self.t1 > 10 else self.t1 - 6
+            poses = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 2])
+            ref = np.asarray(self.video.poses[self.t1 - 2])
+            rel = np.asarray(
+                lie.se3_mul(
+                    jnp.asarray(poses), lie.se3_inv(jnp.asarray(ref))[None]
+                )
+            )
+            cam_t = np.linalg.norm(rel[:, :3], axis=1)
+            cull = bool(np.any(cam_t < self.translation_threshold))
+
+        if cull:
             self.graph.rm_keyframe(self.t1 - 2)
+            if multisensor:
+                self.coupled.rm_new_gnss(self.t1 - 2)
+                self.coupled.state.merge_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
             self.graph.update(None, None, use_inactive=True, rounds=self.iters2)
+
+        # VI / GNSS initialization triggers (dbaf_frontend.py:359-369)
+        if multisensor and self.t1 > self.vi_warmup and \
+                self.coupled.vi_init_t1 < 0:
+            self._try_init_vi(cur_t)
+        if multisensor and self.video.imu_enabled and \
+                self.coupled.gnss_init_time <= 0.0 and len(self.all_gnss) > 0 \
+                and self.coupled.ten0 is not None:
+            init_gnss(self.video, self.coupled, self.t1, self.coupled.ten0)
 
         # seed next slot (dbaf_frontend.py:371-373)
         self.video.set_pose(self.t1, self.video.poses[self.t1 - 1])
@@ -141,3 +293,38 @@ class Frontend:
             self.t1,
             jnp.full((self.video.h8, self.video.w8), mean_disp, jnp.float32),
         )
+
+    # ------------------------------------------------------------------
+    def _try_init_vi(self, cur_t: float):
+        """Gyro-excitation-gated VI initialization (dbaf_frontend.py:434-515)."""
+        state = self.coupled.state
+        vels = []
+        for i in range(self.t1 - 8, self.t1 - 1):
+            pim = state.preintegrations[i]
+            if pim.dt <= 0:
+                return
+            vels.append(pim.dv / pim.dt)
+        vels = np.asarray(vels)
+        var_g = float(np.sqrt(np.mean(np.linalg.norm(vels - vels.mean(0), axis=1) ** 2)))
+        if var_g < 0.25:
+            return  # IMU excitation not enough
+
+        t0a, t1a = self.t1 - 8, self.t1
+        visual_imu_alignment(self.video, self.coupled, t0a, t1a, ignore_lever=True)
+        self.graph.update(None, None, use_inactive=True)
+        visual_imu_alignment(self.video, self.coupled, t0a, t1a, ignore_lever=False)
+        self.graph.update(None, None, use_inactive=True)
+        visual_imu_alignment(self.video, self.coupled, t0a, t1a, ignore_lever=False)
+        if not self.visual_only:
+            self.video.imu_enabled = True
+        else:
+            self.visual_only_init = True
+
+        self.coupled.set_prior(self.coupled.last_t0, self.t1)
+        # skip full-rate stamps up to now (dbaf_frontend.py:361-366)
+        if self.all_stamp is not None:
+            for i in range(len(self.all_stamp)):
+                if float(self.all_stamp[i][0]) >= cur_t + 1e-6:
+                    self.cur_stamp_ii = i
+                    break
+        self.graph.update(None, None, use_inactive=True)

@@ -118,7 +118,7 @@ def make_update_kernel(
         # opaque pytree forwarded to update_fn (test oracles, extra context)
         aux,
         # static
-        iters: int, use_inactive: bool, rounds: int,
+        iters: int, use_inactive: bool, rounds: int, do_ba: bool,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -191,6 +191,11 @@ def make_update_kernel(
                 pixmask = (disps[ii_all] < far_thresh)[..., None] & (imu_f > 0)
                 w_ba = jnp.where(pixmask, w_ba * 1e-3, w_ba)
 
+            if not do_ba:
+                # coupled mode: hand the combined BA inputs back to the host
+                # factor-graph driver (depth_video.py multi-sensor branch)
+                return poses, disps, net_new, target, weight, t_all, w_ba
+
             # ---- window-local BA
             poses_w = jax.lax.dynamic_slice(poses, (s0, 0), (P, 7))
             disps_w = jax.lax.dynamic_slice(
@@ -218,6 +223,20 @@ def make_update_kernel(
             )
             return poses, disps, net_new, target, weight
 
+        if not do_ba:
+            out = one_round(0, (poses, disps, e_net, e_target, e_weight))
+            poses, disps, e_net, e_target, e_weight, t_all, w_ba = out
+            edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+            return (
+                UpdateResult(
+                    edges=EdgeArrays(e_net, e_target, e_weight),
+                    poses=poses,
+                    disps=disps,
+                    edge_conf=edge_conf,
+                ),
+                (t_all, w_ba),
+            )
+
         poses, disps, e_net, e_target, e_weight = jax.lax.fori_loop(
             0, rounds, one_round, (poses, disps, e_net, e_target, e_weight)
         )
@@ -232,7 +251,7 @@ def make_update_kernel(
     # donate: poses(0), disps(1), e_net(6), e_target(7), e_weight(8)
     return jax.jit(
         kernel,
-        static_argnames=("iters", "use_inactive", "rounds"),
+        static_argnames=("iters", "use_inactive", "rounds", "do_ba"),
         donate_argnums=(0, 1, 6, 7, 8),
     )
 
@@ -271,6 +290,7 @@ class CovisibleGraph:
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
         self.aux = {}  # traced pytree forwarded to update_fn each call
+        self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
 
     # ------------------------------------------------------------------
     @property
@@ -481,29 +501,61 @@ class CovisibleGraph:
         P = self.cfg.ba.window
         s0 = max(0, t1 - P)
 
-        e_mask = np.zeros(self.e_cap, dtype=bool)
-        e_mask[: self.n] = True
-        i_mask = np.zeros(self.i_cap, dtype=bool)
-        i_mask[: len(self.ii_inac)] = True
+        coupled_mode = self.video.imu_enabled and self.coupled is not None
 
-        res = self._kernel(
-            self.video.poses, self.video.disps, self.video.damping,
-            self.video.intrinsics, self.video.fmaps, self.video.inps,
-            self.edges.net, self.edges.target, self.edges.weight,
-            self._padded(self.ii), self._padded(self.jj), jnp.asarray(e_mask),
-            self.t_inac, self.w_inac,
-            self._padded_inac(self.ii_inac), self._padded_inac(self.jj_inac),
-            jnp.asarray(i_mask),
-            jnp.asarray(t0, dtype=jnp.int32), jnp.asarray(t1, dtype=jnp.int32),
-            jnp.asarray(s0, dtype=jnp.int32),
-            jnp.asarray(self.video.imu_enabled, dtype=bool),
-            self.aux,
-            iters=iters, use_inactive=use_inactive, rounds=rounds,
-        )
-        self.edges = res.edges
-        self.video.poses = res.poses
-        self.video.disps = res.disps
-        self._conf_dev = res.edge_conf  # pulled lazily (host sync is ~25 ms)
+        for _ in range(rounds if coupled_mode else 1):
+            e_mask = np.zeros(self.e_cap, dtype=bool)
+            e_mask[: self.n] = True
+            i_mask = np.zeros(self.i_cap, dtype=bool)
+            i_mask[: len(self.ii_inac)] = True
+
+            out = self._kernel(
+                self.video.poses, self.video.disps, self.video.damping,
+                self.video.intrinsics, self.video.fmaps, self.video.inps,
+                self.edges.net, self.edges.target, self.edges.weight,
+                self._padded(self.ii), self._padded(self.jj), jnp.asarray(e_mask),
+                self.t_inac, self.w_inac,
+                self._padded_inac(self.ii_inac), self._padded_inac(self.jj_inac),
+                jnp.asarray(i_mask),
+                jnp.asarray(t0, dtype=jnp.int32), jnp.asarray(t1, dtype=jnp.int32),
+                jnp.asarray(s0, dtype=jnp.int32),
+                jnp.asarray(self.video.imu_enabled, dtype=bool),
+                self.aux,
+                iters=iters, use_inactive=use_inactive,
+                rounds=1 if coupled_mode else rounds,
+                do_ba=not coupled_mode,
+            )
+            if coupled_mode:
+                res, (t_all, w_ba) = out
+                self.edges = res.edges
+                self.video.poses = res.poses
+                self.video.disps = res.disps
+                # host-side combined edge view matching the device rows
+                if use_inactive:
+                    keep_i = i_mask & (
+                        np.asarray(self._padded_inac(self.ii_inac)) >= t0 - self.cfg.graph.inac_range
+                    ) & (
+                        np.asarray(self._padded_inac(self.jj_inac)) >= t0 - self.cfg.graph.inac_range
+                    )
+                    ii_full = np.concatenate(
+                        [np.asarray(self._padded_inac(self.ii_inac)), np.asarray(self._padded(self.ii))]
+                    )
+                    jj_full = np.concatenate(
+                        [np.asarray(self._padded_inac(self.jj_inac)), np.asarray(self._padded(self.jj))]
+                    )
+                    valid = np.concatenate([keep_i, e_mask])
+                else:
+                    ii_full = np.asarray(self._padded(self.ii))
+                    jj_full = np.asarray(self._padded(self.jj))
+                    valid = e_mask
+                self.coupled.ba(ii_full, jj_full, valid, t_all, w_ba, t1,
+                                itrs=iters)
+            else:
+                res = out
+                self.edges = res.edges
+                self.video.poses = res.poses
+                self.video.disps = res.disps
+            self._conf_dev = res.edge_conf  # pulled lazily (host sync ~25 ms)
         self.age += rounds
 
     # ------------------------------------------------------------------

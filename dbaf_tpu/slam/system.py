@@ -76,6 +76,42 @@ class DBAFusion:
         self.filter = MotionFilter(self.video, cfg, feat_fn, ctx_fn, update_fn)
         self.frontend = Frontend(self.video, self.graph, cfg)
 
+    def set_multisensor(
+        self,
+        all_imu,
+        Tbc,
+        all_gnss=None,
+        all_odo=None,
+        all_stamp=None,
+        tbg=None,
+        ten0=None,
+        imu_noise=None,
+        visual_only: bool = False,
+    ):
+        """Enable tightly-coupled fusion (the dbaf.py demo setup surface:
+        extrinsics + sensor streams + noise, demo_vio_whu.py:190-211).
+
+        Tbc: 4x4 body<-camera extrinsic; tbg: GNSS lever arm (body);
+        ten0: ECEF reference for GNSS; imu_noise: (acc, gyro, acc_walk,
+        gyro_walk) sigmas.
+        """
+        from ..fusion.se3np import Pose
+        from .coupled import MultiSensorBA
+
+        coupled = MultiSensorBA(self.video, self.cfg)
+        coupled.Tbc = Pose.from_matrix(np.asarray(Tbc, float))
+        if tbg is not None:
+            coupled.tbg = np.asarray(tbg, float)
+        if ten0 is not None:
+            coupled.ten0 = np.asarray(ten0, float)
+        if imu_noise is not None:
+            coupled.state.set_imu_params(imu_noise)
+        self.graph.coupled = coupled
+        self.frontend.set_multisensor(
+            all_imu, all_gnss, all_odo, all_stamp, visual_only=visual_only
+        )
+        return coupled
+
     def track(
         self,
         tstamp: float,
