@@ -1,0 +1,32 @@
+"""HDF5 pre-processed frame cache (fast input path).
+
+Capability of /root/reference/dataset/{tumvi,euroc,kitti360}_to_hdf5.py:
+pre-undistorted/resized frames pickled per key so repeated runs skip OpenCV
+work (consumed via --enable_h5, demo_vio_tumvi.py:68-74).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def convert_stream(stream: Iterable, out_path: str):
+    """Write a (t, image, intrinsics) stream into an HDF5 cache."""
+    with h5py.File(out_path, "w") as f:
+        for k, item in enumerate(stream):
+            payload = np.void(pickle.dumps(item))
+            f.create_dataset("%08d" % k, data=payload)
+
+
+def h5_stream(path: str) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
+    with h5py.File(path, "r") as f:
+        for key in sorted(f.keys()):
+            yield pickle.loads(np.asarray(f[key]).tobytes())

@@ -1,0 +1,107 @@
+"""Synthetic-scene simulator: the dataset-free e2e test/demo backend.
+
+Generates a multi-view-consistent world (a plane observed from a smooth
+trajectory), an oracle update operator ('perfect network': returns true
+correspondences), and simulated IMU -- the 'fake backend' SURVEY.md
+section 4 prescribes for exercising the full SLAM machinery without
+datasets or checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fusion.se3np import so3_exp
+from ..ops import lie, projective as pj
+
+GRAVITY_W = np.array([0.0, 0.0, -9.807])
+
+
+def plane_disparity(pose_wc: np.ndarray, intr: np.ndarray, h8: int, w8: int,
+                    z0: float = 3.0) -> np.ndarray:
+    """Ground-truth disparity of the world plane z=z0 for a world->cam
+    7-vec pose."""
+    fx, fy, cx, cy = intr
+    R = np.asarray(lie.quat_to_matrix(jnp.asarray(pose_wc[3:])))
+    t = pose_wc[:3]
+    u, v = np.meshgrid(np.arange(w8), np.arange(h8), indexing="xy")
+    dirs = np.stack(
+        [(u - cx) / fx, (v - cy) / fy, np.ones_like(u, dtype=float)], -1
+    )
+    dir_w = dirs @ R  # R^T dir
+    tz = (R.T @ t)[2]
+    z = (z0 + tz) / dir_w[..., 2]
+    return (1.0 / z).astype(np.float32)
+
+
+def body_state(t: float):
+    """Analytic trajectory with strong excitation (for VI observability)."""
+    p = np.array([1.2 * np.sin(1.3 * t), 0.9 * np.cos(1.7 * t), 0.25 * t])
+    v = np.array([1.56 * np.cos(1.3 * t), -1.53 * np.sin(1.7 * t), 0.25])
+    a = np.array([-2.03 * np.sin(1.3 * t), -2.60 * np.cos(1.7 * t), 0.0])
+    w = np.array([0.25 * np.sin(0.9 * t), 0.2 * np.cos(0.7 * t), 0.15])
+    return p, v, a, w
+
+
+def simulate_imu_and_poses(duration: float, fps: float = 10.0,
+                           imu_hz: float = 200.0):
+    """Returns IMU rows [t, gyro_deg(3), acc(3)] and {frame_id: (R, p)}."""
+    dt = 1.0 / imu_hz
+    ts = np.arange(0.0, duration + dt / 2, dt)
+    R = np.eye(3)
+    rows = []
+    poses_at: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for t in ts:
+        p, v, a, w = body_state(t)
+        fid = t * fps
+        if abs(fid - round(fid)) < 1e-6:
+            poses_at[int(round(fid))] = (R.copy(), p)
+        acc_body = R.T @ (a - GRAVITY_W)
+        rows.append(np.concatenate([[t], np.rad2deg(w), acc_body]))
+        R = R @ so3_exp(w * dt)
+    return np.asarray(rows), poses_at
+
+
+def scene_from_poses(poses_at, n_frames: int, intr: np.ndarray, h8: int,
+                     w8: int, z0: float = 4.0):
+    """Ground-truth camera Tcw 7-vecs + plane disparities per frame."""
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, h8, w8, z0))
+    return (
+        np.stack(gt_cw).astype(np.float32),
+        np.stack(gt_disps).astype(np.float32),
+    )
+
+
+def make_oracle(gt_poses_cw, gt_disps, intr):
+    """'Perfect network' update operator: true correspondences, weight 1.
+
+    Frame identity travels via ``aux['id_map']`` (video slot -> ground-truth
+    frame id) so culling/rollup stay correct.
+    """
+    gtp = jnp.asarray(gt_poses_cw)
+    gtd = jnp.asarray(gt_disps)
+    intr8 = jnp.asarray(intr, dtype=jnp.float32)
+
+    def update_fn(net, inp, corr, motn, ii, jj, aux):
+        id_map = aux["id_map"]
+        gi = id_map[ii]
+        gj = id_map[jj]
+        target, valid = pj.projective_transform(gtp, gtd, intr8, gi, gj)
+        delta = target - aux["coords1"]
+        weight = jnp.broadcast_to(valid, delta.shape)
+        return net, delta.astype(jnp.float32), weight.astype(jnp.float32)
+
+    return update_fn
