@@ -283,6 +283,12 @@ class DroidNet(nn.Module):
     def update_step(self, net, inp, corr, flow=None):
         return self.update(net, inp, corr, flow)
 
+    def update_with_agg(self, net, inp, corr, flow, ii, num_frames):
+        """Training-path update incl. GraphAgg eta/upmask (droid_net.py:205-206)."""
+        return self.update(
+            net, inp, corr, flow, ii=ii, num_frames=num_frames, upsample=True
+        )
+
     def __call__(self, images, net, inp, corr, flow=None):
         """Minimal apply surface: feature extraction or one update step are
         invoked via ``method=``; this default wires the update op."""
