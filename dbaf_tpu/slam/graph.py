@@ -597,6 +597,23 @@ class CovisibleGraph:
             jj = np.concatenate([jj, jj_add])
 
         d = self.video.distance(ii, jj, beta=beta).astype(np.float64)
+
+        # native path: the C++ scheduler runs the whole selection
+        # (native/graphops.cpp)
+        from ..utils import native
+
+        res = native.select_proximity_edges(
+            d, ii, jj, cc,
+            np.concatenate([self.ii, self.ii_bad, self.ii_inac]),
+            np.concatenate([self.jj, self.jj_bad, self.jj_inac]),
+            t0, t1, t, rad, nms, thresh, self.cfg.graph.max_factors,
+        )
+        if res is not None:
+            ii_new, jj_new = res
+            if len(ii_new):
+                self.add_factors(ii_new, jj_new, remove)
+            return
+
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 
