@@ -30,3 +30,36 @@ def h5_stream(path: str) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
     with h5py.File(path, "r") as f:
         for key in sorted(f.keys()):
             yield pickle.loads(np.asarray(f[key]).tobytes())
+
+
+def main(argv=None):
+    """CLI converter (the dataset/*_to_hdf5.py capability).
+
+    python -m dbaf_tpu.data.hdf5 --dataset tumvi --datadir ... \
+        --calib calib/tumvi.txt --out frames.h5 [--stride 4]
+    """
+    import argparse
+
+    from . import streams
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["tumvi", "kitti360", "generic"],
+                    default="generic")
+    ap.add_argument("--datadir", required=True)
+    ap.add_argument("--calib", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--stride", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    if args.dataset == "tumvi":
+        stream = streams.tumvi_stream(args.datadir, args.calib, args.stride)
+    elif args.dataset == "kitti360":
+        stream = streams.kitti360_stream(args.datadir, args.calib, args.stride)
+    else:
+        stream = streams.image_stream(args.datadir, args.calib, args.stride)
+    convert_stream(stream, args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
