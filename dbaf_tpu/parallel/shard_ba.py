@@ -43,7 +43,7 @@ def make_sharded_ba_iteration(mesh: Mesh, P_win: int, axis: str = "edge"):
         mesh=mesh,
         in_specs=(rep, rep, rep, esh, esh, rep, esh, esh, esh, rep, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def iteration(poses, disps, intrinsics, targets, weights, eta, ii, jj,
                   mask, nfixed, nactive):
