@@ -250,10 +250,14 @@ class Frontend:
             Twc = np.asarray(lie.se3_inv(self.video.poses[self.t1 - 1]))
             self.trajectory.append((cur_t, Twc))
 
-        # keyframe cull decision (dbaf_frontend.py:317-353)
-        d = float(
-            self.video.distance([self.t1 - 3], [self.t1 - 2], beta=self.beta)[0]
-        )
+        # keyframe cull decision (dbaf_frontend.py:317-353); the distance was
+        # computed inside the update kernel to save a round trip
+        if self.graph.last_cull_dist is not None and not self.did_rollup:
+            d = float(self.graph.last_cull_dist)
+        else:
+            d = float(
+                self.video.distance([self.t1 - 3], [self.t1 - 2], beta=self.beta)[0]
+            )
         cull = d < self.keyframe_thresh
         if multisensor and self.video.imu_enabled and not cull:
             # translation hysteresis (dbaf_frontend.py:319-325)
@@ -287,12 +291,7 @@ class Frontend:
             init_gnss(self.video, self.coupled, self.t1, self.coupled.ten0)
 
         # seed next slot (dbaf_frontend.py:371-373)
-        self.video.set_pose(self.t1, self.video.poses[self.t1 - 1])
-        mean_disp = jnp.mean(self.video.disps[self.t1 - 1])
-        self.video.set_disp(
-            self.t1,
-            jnp.full((self.video.h8, self.video.w8), mean_disp, jnp.float32),
-        )
+        self.video.seed_next(self.t1)
 
     # ------------------------------------------------------------------
     def _try_init_vi(self, cur_t: float):

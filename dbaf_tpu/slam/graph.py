@@ -87,6 +87,7 @@ class UpdateResult(NamedTuple):
     poses: jnp.ndarray
     disps: jnp.ndarray
     edge_conf: jnp.ndarray  # (E_CAP,) mean confidence per active edge
+    cull_dist: jnp.ndarray  # scalar: frame distance (t1-3, t1-2) after update
 
 
 def make_update_kernel(
@@ -223,6 +224,14 @@ def make_update_kernel(
             )
             return poses, disps, net_new, target, weight
 
+        def cull_distance(poses, disps):
+            # keyframe-cull flow distance (dbaf_frontend.py:264), computed
+            # in-kernel to save a host round trip
+            return pj.frame_distance_bidirectional(
+                poses, disps, intrinsics,
+                jnp.asarray([0]) + (t1 - 3), jnp.asarray([0]) + (t1 - 2),
+            )[0]
+
         if not do_ba:
             out = one_round(0, (poses, disps, e_net, e_target, e_weight))
             poses, disps, e_net, e_target, e_weight, t_all, w_ba = out
@@ -233,6 +242,7 @@ def make_update_kernel(
                     poses=poses,
                     disps=disps,
                     edge_conf=edge_conf,
+                    cull_dist=cull_distance(poses, disps),
                 ),
                 (t_all, w_ba),
             )
@@ -246,6 +256,7 @@ def make_update_kernel(
             poses=poses,
             disps=disps,
             edge_conf=edge_conf,
+            cull_dist=cull_distance(poses, disps),
         )
 
     # donate: poses(0), disps(1), e_net(6), e_target(7), e_weight(8)
@@ -289,8 +300,16 @@ class CovisibleGraph:
 
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
+        self.last_cull_dist = None  # device scalar from the last update
         self.aux = {}  # traced pytree forwarded to update_fn each call
         self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
+
+        # lazy device rebuild: membership changes compose on host and flush
+        # as ONE permutation-gather (dispatch latency dominates on remote
+        # TPU transports)
+        self._perm = np.arange(self.e_cap, dtype=np.int32)
+        self._is_new = np.zeros(self.e_cap, dtype=bool)
+        self._dirty = False
 
     # ------------------------------------------------------------------
     @property
@@ -353,18 +372,30 @@ class CovisibleGraph:
         self.jj = np.concatenate([self.jj, jj_new])
         self.age = np.concatenate([self.age, np.zeros(m, dtype=np.int64)])
 
-        perm = np.arange(self.e_cap, dtype=np.int32)
-        is_new = np.zeros(self.e_cap, dtype=bool)
-        is_new[n_old : n_old + m] = True
-        self._apply_rebuild(perm, is_new)
+        self._is_new[n_old : n_old + m] = True
+        self._dirty = True
 
-    def _apply_rebuild(self, perm, is_new):
+    def _queue_perm(self, keep_idx: np.ndarray):
+        """Compose a host-side compaction into the pending device perm."""
+        nk = len(keep_idx)
+        new_perm = np.arange(self.e_cap, dtype=np.int32)
+        new_is_new = np.zeros(self.e_cap, dtype=bool)
+        new_perm[:nk] = self._perm[keep_idx]
+        new_is_new[:nk] = self._is_new[keep_idx]
+        self._perm = new_perm
+        self._is_new = new_is_new
+        self._dirty = True
+
+    def _flush(self):
+        """Apply the pending membership change as one device rebuild."""
+        if not self._dirty:
+            return
         self.edges = _rebuild_edges(
             self.edges.net,
             self.edges.target,
             self.edges.weight,
-            jnp.asarray(perm),
-            jnp.asarray(is_new),
+            jnp.asarray(np.clip(self._perm, 0, self.e_cap - 1)),
+            jnp.asarray(self._is_new),
             self._padded(self.ii),
             self._padded(self.jj),
             self.video.poses,
@@ -372,6 +403,9 @@ class CovisibleGraph:
             self.video.intrinsics,
             self.video.nets.astype(jnp.bfloat16),
         )
+        self._perm = np.arange(self.e_cap, dtype=np.int32)
+        self._is_new[:] = False
+        self._dirty = False
 
     # ------------------------------------------------------------------
     def rm_factors(self, mask: np.ndarray, store: bool = False):
@@ -382,6 +416,10 @@ class CovisibleGraph:
             return
         drop_idx = np.nonzero(mask)[0]
         keep_idx = np.nonzero(~mask)[0]
+
+        if store and np.any(self._is_new[drop_idx]):
+            # retiring edges whose device state is still pending: flush first
+            self._flush()
 
         if store:
             n_i = len(self.ii_inac)
@@ -397,7 +435,8 @@ class CovisibleGraph:
             nk = len(old_keep)
             perm_old[:nk] = old_keep
             from_act[nk : nk + n_add] = True
-            act_idx[nk : nk + n_add] = drop_idx
+            # map host positions through the pending perm to device slots
+            act_idx[nk : nk + n_add] = self._perm[drop_idx]
             self.t_inac, self.w_inac = _rebuild_inactive(
                 self.t_inac, self.w_inac,
                 jnp.asarray(perm_old), jnp.asarray(from_act),
@@ -408,9 +447,7 @@ class CovisibleGraph:
         self.ii = self.ii[keep_idx]
         self.jj = self.jj[keep_idx]
         self.age = self.age[keep_idx]
-        perm = np.arange(self.e_cap, dtype=np.int32)
-        perm[: len(keep_idx)] = keep_idx
-        self._apply_rebuild(perm, np.zeros(self.e_cap, dtype=bool))
+        self._queue_perm(keep_idx)
 
     @property
     def last_conf(self) -> np.ndarray:
@@ -502,6 +539,7 @@ class CovisibleGraph:
         s0 = max(0, t1 - P)
 
         coupled_mode = self.video.imu_enabled and self.coupled is not None
+        self._flush()
 
         for _ in range(rounds if coupled_mode else 1):
             e_mask = np.zeros(self.e_cap, dtype=bool)
@@ -556,6 +594,7 @@ class CovisibleGraph:
                 self.video.poses = res.poses
                 self.video.disps = res.disps
             self._conf_dev = res.edge_conf  # pulled lazily (host sync ~25 ms)
+            self.last_cull_dist = res.cull_dist  # device scalar, pulled lazily
         self.age += rounds
 
     # ------------------------------------------------------------------

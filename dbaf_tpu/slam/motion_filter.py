@@ -21,17 +21,22 @@ from ..utils.config import DBAFusionConfig
 from .video import DepthVideo
 
 
-def make_gate(update_fn: Callable):
-    """Build the jitted flow-magnitude gate.
+def make_feat_gate(feat_fn: Callable, update_fn: Callable):
+    """Build the fused per-frame jit: feature extraction + flow-magnitude
+    gate in ONE dispatch (one host round trip per non-keyframe).
 
     update_fn has the graph-kernel signature
     (net, inp, corr, motn, ii, jj, aux) -> (net, delta, weight).
     """
 
     @jax.jit
-    def gate(fmap_kf, fmap_cur, net_kf, inp_kf):
+    def feat_gate(image, fmap_kf, net_kf, inp_kf):
+        fmap_cur = feat_fn(image)[0]
         H, W = fmap_kf.shape[0], fmap_kf.shape[1]
-        vol = corr_ops.build_volume_nhwc(fmap_kf[None], fmap_cur[None])
+        vol = corr_ops.build_volume_nhwc(
+            fmap_kf[None].astype(jnp.bfloat16),
+            fmap_cur[None].astype(jnp.bfloat16),
+        )
         coords0 = pj.coords_grid(H, W)[None]
         corr = corr_ops.lookup_fused(vol, coords0).transpose(0, 2, 3, 1)
         zero_motn = jnp.zeros((1, H, W, 4), dtype=net_kf.dtype)
@@ -40,9 +45,9 @@ def make_gate(update_fn: Callable):
             net_kf[None], inp_kf[None], corr.astype(net_kf.dtype), zero_motn,
             ii, ii, {},
         )
-        return jnp.mean(jnp.linalg.norm(delta[0], axis=-1))
+        return fmap_cur, jnp.mean(jnp.linalg.norm(delta[0], axis=-1))
 
-    return gate
+    return feat_gate
 
 
 class MotionFilter:
@@ -61,7 +66,7 @@ class MotionFilter:
         self.thresh = cfg.frontend.filter_thresh
         self.feat = feat_fn
         self.ctx = ctx_fn
-        self.gate = make_gate(update_fn)
+        self.feat_gate = make_feat_gate(feat_fn, update_fn)
         self.count = 0
         self._kf_fmap = None
         self._kf_net = None
@@ -79,9 +84,9 @@ class MotionFilter:
         image: (H, W, 3) BGR float/uint8 host array.
         """
         img = jnp.asarray(image, dtype=jnp.float32)[None]
-        fmap = self.feat(img)[0]
 
         if self.video.counter == 0:
+            fmap = self.feat(img)[0]
             net, inp = self.ctx(img)
             self._store(fmap, net[0], inp[0])
             small = np.asarray(image[::8, ::8]).astype(np.uint8)
@@ -93,13 +98,10 @@ class MotionFilter:
             )
             return True
 
-        delta = float(
-            self.gate(
-                self._kf_fmap.astype(jnp.bfloat16),
-                fmap.astype(jnp.bfloat16),
-                self._kf_net, self._kf_inp,
-            )
+        fmap, delta_dev = self.feat_gate(
+            img, self._kf_fmap, self._kf_net, self._kf_inp
         )
+        delta = float(delta_dev)
         if delta > self.thresh:
             self.count = 0
             net, inp = self.ctx(img)

@@ -33,6 +33,15 @@ def _set_row(buf, idx, value):
     return buf.at[idx].set(value)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _set_features(fmaps, nets, inps, idx, fmap, net, inp):
+    return (
+        fmaps.at[idx].set(fmap.astype(fmaps.dtype)),
+        nets.at[idx].set(net.astype(nets.dtype)),
+        inps.at[idx].set(inp.astype(inps.dtype)),
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_row(buf, dst, src):
     return buf.at[dst].set(buf[src])
@@ -46,6 +55,15 @@ def _roll(buf, shift):
 @jax.jit
 def _distance(poses, disps, intrinsics, ii, jj, beta):
     return pj.frame_distance_bidirectional(poses, disps, intrinsics, ii, jj, beta)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _seed_next(poses, disps, idx):
+    """poses[idx] = poses[idx-1]; disps[idx] = mean(disps[idx-1])
+    (dbaf_frontend.py:371-373) as one dispatch."""
+    poses = poses.at[idx].set(poses[idx - 1])
+    disps = disps.at[idx].set(jnp.mean(disps[idx - 1]))
+    return poses, disps
 
 
 @jax.jit
@@ -129,9 +147,9 @@ class DepthVideo:
                 self.disps_sens, idx, jnp.where(d8 > 0, 1.0 / d8, d8)
             )
         self.intrinsics = intrinsics
-        self.fmaps = _set_row(self.fmaps, idx, fmap.astype(jnp.bfloat16))
-        self.nets = _set_row(self.nets, idx, net.astype(jnp.bfloat16))
-        self.inps = _set_row(self.inps, idx, inp.astype(jnp.bfloat16))
+        self.fmaps, self.nets, self.inps = _set_features(
+            self.fmaps, self.nets, self.inps, idx, fmap, net, inp
+        )
         self.counter += 1
         return idx
 
@@ -193,3 +211,9 @@ class DepthVideo:
     def normalize(self):
         mask = (jnp.arange(self.poses.shape[0]) < self.counter).astype(jnp.float32)
         self.poses, self.disps = _normalize(self.poses, self.disps, mask)
+
+    def seed_next(self, idx: int):
+        """Copy pose and mean disparity from slot idx-1 into idx (one jit)."""
+        self.poses, self.disps = _seed_next(
+            self.poses, self.disps, jnp.asarray(idx, jnp.int32)
+        )
