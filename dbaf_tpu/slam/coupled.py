@@ -38,6 +38,13 @@ GNSS_NOISE = Noise.sigmas([1.0, 1.0, 5.0], cauchy_k=0.08)  # depth_video.py:288-
 ODO_NOISE = Noise.sigmas([2.0, 2.0, 2.0])  # depth_video.py:300
 
 
+@jax.jit
+def _gather_rows(arr, idx):
+    """Fixed-shape row gather (idx padded to arr length) -- keeps the
+    coupled path free of shape-dependent recompilation."""
+    return arr[idx]
+
+
 class MultiSensorBA:
     """Owns the factor-graph state and drives the coupled iterations."""
 
@@ -189,12 +196,10 @@ class MultiSensorBA:
             # visual information of the marginalized edges
             sel = np.nonzero(marg_idx)[0]
             e_cap = self.cur_target.shape[0]
-            tgt = jnp.zeros_like(self.cur_target).at[: len(sel)].set(
-                self.cur_target[jnp.asarray(sel)]
-            )
-            wgt = jnp.zeros_like(self.cur_weight).at[: len(sel)].set(
-                self.cur_weight[jnp.asarray(sel)]
-            )
+            sel_pad = np.zeros(e_cap, dtype=np.int32)
+            sel_pad[: len(sel)] = sel
+            tgt = _gather_rows(self.cur_target, jnp.asarray(sel_pad))
+            wgt = _gather_rows(self.cur_weight, jnp.asarray(sel_pad))
             H, v = self._vis_hessian(
                 marg_ii, marg_jj, tgt, wgt, self.last_t0, self.last_t0, marg_t1
             )
@@ -280,10 +285,10 @@ class MultiSensorBA:
         self.cur_ii = ii_full[sel]
         self.cur_jj = jj_full[sel]
         e_cap = target.shape[0]
-        tsel = jnp.zeros_like(target).at[: len(sel)].set(target[jnp.asarray(sel)])
-        wsel = jnp.zeros_like(weight).at[: len(sel)].set(weight[jnp.asarray(sel)])
-        self.cur_target = tsel
-        self.cur_weight = wsel
+        sel_pad = np.zeros(e_cap, dtype=np.int32)
+        sel_pad[: len(sel)] = sel
+        self.cur_target = _gather_rows(target, jnp.asarray(sel_pad))
+        self.cur_weight = _gather_rows(weight, jnp.asarray(sel_pad))
 
         # build the non-visual graph once
         base = FactorGraph()
