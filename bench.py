@@ -24,6 +24,10 @@ REFERENCE_KEYFRAMES_PER_SEC = 10.0
 
 
 def main():
+    from dbaf_tpu.utils.jax_setup import setup as jax_setup
+
+    jax_setup()  # persistent compile cache: warm second runs
+
     import jax
     import jax.numpy as jnp
 

@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--traj_out", type=str, default="")
     args = ap.parse_args(argv)
 
+    from ..utils.jax_setup import setup as jax_setup
+
+    jax_setup()
+
     import jax.numpy as jnp
 
     from ..eval.ate import ate_rmse

@@ -10,6 +10,9 @@ import numpy as np
 from ..eval.ate import evaluate_trajectory
 from ..eval.traj_io import write_tum
 from ..slam.system import DBAFusion
+from ..utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
 
 
 def run(

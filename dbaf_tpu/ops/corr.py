@@ -212,6 +212,76 @@ def lookup_pyramid(
     return out.transpose(0, 2, 1).reshape(E, -1, H, W)
 
 
+def build_pyramid_fast(
+    volume: jnp.ndarray, num_levels: int = DEFAULT_LEVELS
+) -> List[jnp.ndarray]:
+    """Pyramid via strided adds (layout-friendlier than reshape-mean)."""
+    pyramid = [volume]
+    v = volume
+    for _ in range(num_levels - 1):
+        v = 0.25 * (
+            v[:, :, 0::2, 0::2]
+            + v[:, :, 0::2, 1::2]
+            + v[:, :, 1::2, 0::2]
+            + v[:, :, 1::2, 1::2]
+        )
+        pyramid.append(v)
+    return pyramid
+
+
+def lookup_crop(
+    pyramid: Sequence[jnp.ndarray],
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+) -> jnp.ndarray:
+    """Windowed lookup via integer-window crops (two take_along_axis
+    gathers: 8 rows then 8 columns) + a 4-tap bilinear combine on the VPU.
+
+    Exact same contract as :func:`lookup_pyramid`; an alternative mapping
+    that reads only the needed volume rows instead of contracting the full
+    target extent.
+    """
+    E, H, W, _ = coords.shape
+    P = H * W
+    R = 2 * radius + 1
+    flat = coords.reshape(E, P, 2)
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        _, _, H2, W2 = vol.shape
+        c = flat / (2.0**lvl)
+        fx = jnp.floor(c[..., 0])
+        fy = jnp.floor(c[..., 1])
+        dx = (c[..., 0] - fx)[..., None, None]
+        dy = (c[..., 1] - fy)[..., None, None]
+
+        ry = fy[..., None] + (jnp.arange(R + 1, dtype=fy.dtype) - radius)
+        rx = fx[..., None] + (jnp.arange(R + 1, dtype=fx.dtype) - radius)
+        my = (ry >= 0) & (ry < H2)
+        mx = (rx >= 0) & (rx < W2)
+        iy = jnp.clip(ry, 0, H2 - 1).astype(jnp.int32)
+        ix = jnp.clip(rx, 0, W2 - 1).astype(jnp.int32)
+
+        # rows: (E, P, R+1, W2)
+        strip = jnp.take_along_axis(vol, iy[..., None], axis=2)
+        # columns: (E, P, R+1, R+1)
+        win = jnp.take_along_axis(
+            strip, ix[:, :, None, :].astype(jnp.int32), axis=3
+        ).astype(jnp.float32)
+        win = win * my[..., None] * mx[..., None, :]
+
+        # bilinear combine of the 4 integer-shifted taps; win dims are
+        # (y=row, x=col); output channel = a*R+b with a = x offset
+        out = (
+            (1 - dy) * (1 - dx) * win[:, :, :R, :R]
+            + (1 - dy) * dx * win[:, :, :R, 1:]
+            + dy * (1 - dx) * win[:, :, 1:, :R]
+            + dy * dx * win[:, :, 1:, 1:]
+        )
+        outs.append(out.transpose(0, 1, 3, 2).reshape(E, P, R * R))
+    out = jnp.concatenate(outs, axis=-1)
+    return out.transpose(0, 2, 1).reshape(E, -1, H, W)
+
+
 def _pooled_tri_kernel(
     coord: jnp.ndarray, size: int, radius: int, level: int
 ) -> jnp.ndarray:

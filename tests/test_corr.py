@@ -83,6 +83,23 @@ def test_pyramid_average_pools(rng):
     np.testing.assert_allclose(np.asarray(pyr[1]), ref, atol=1e-5)
 
 
+def test_crop_and_fast_pyramid_match_reference(rng):
+    E, H, W = 2, 8, 16
+    P = H * W
+    fm = jnp.asarray(rng.normal(size=(E, H, W, 32)).astype(np.float32))
+    vol = corr.build_volume_nhwc(fm, fm)
+    coords = jnp.asarray(
+        rng.uniform(-2, 18, size=(E, H, W, 2)).astype(np.float32)
+    )
+    pyr_ref = corr.build_pyramid(vol)
+    pyr_fast = corr.build_pyramid_fast(vol)
+    for a, b in zip(pyr_ref, pyr_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    ref = np.asarray(corr.lookup_pyramid(pyr_ref, coords))
+    crop = np.asarray(corr.lookup_crop(pyr_fast, coords))
+    np.testing.assert_allclose(crop, ref, atol=1e-4)
+
+
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""
     E, H, W = 1, 4, 4
