@@ -359,6 +359,60 @@ def lookup_fused(
     return out.transpose(0, 2, 1).reshape(E, num_levels * R * R, H, W)
 
 
+def lookup_fused_tiled(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 512,
+) -> jnp.ndarray:
+    """Memory-light on-the-fly correlation (the altcorr capability,
+    /root/reference/src/altcorr_kernel.cu:27-236, modules/corr.py:91-139).
+
+    Instead of materializing the full (P x H2 x W2) volume per edge, builds
+    it in pixel tiles (one MXU matmul per tile) and looks up immediately --
+    peak correlation memory drops from O(P * H2W2) to O(tile * H2W2) while
+    total FLOPs are unchanged.  fmap1/fmap2: (E, H, W, C) channels-last.
+    """
+    E, H, W, C = fmap1.shape
+    P = H * W
+    f1 = fmap1.reshape(E, P, C) / 4.0
+    f2 = fmap2.reshape(E, P, C) / 4.0
+    flat = coords.reshape(E, P, 2)
+    R = 2 * radius + 1
+
+    n_tiles = (P + tile - 1) // tile
+    pad = n_tiles * tile - P
+    f1p = jnp.pad(f1, ((0, 0), (0, pad), (0, 0)))
+    cp = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    f1t = f1p.reshape(E, n_tiles, tile, C).transpose(1, 0, 2, 3)
+    ct = cp.reshape(E, n_tiles, tile, 2).transpose(1, 0, 2, 3)
+
+    def one_tile(args):
+        f1_tile, c_tile = args  # (E, tile, C), (E, tile, 2)
+        vol = jax.lax.dot_general(
+            f1_tile, f2,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(fmap1.dtype).reshape(E, tile, H, W)
+        c4 = c_tile.reshape(E, tile, 1, 2)  # fake (E, H'=tile, W'=1, 2)
+        out = lookup_fused(vol, c4.reshape(E, tile, 1, 2), radius, num_levels)
+        return out.reshape(E, num_levels * R * R, tile)
+
+    outs = jax.lax.map(one_tile, (f1t, ct))  # (n_tiles, E, L*R^2, tile)
+    out = outs.transpose(1, 2, 0, 3).reshape(E, num_levels * R * R, n_tiles * tile)
+    return out[..., :P].reshape(E, num_levels * R * R, H, W)
+
+
+def projmap(poses, disps, intrinsics, ii, jj):
+    """Dense reprojection coords + validity (the droid_backends.projmap
+    surface, /root/reference/src/droid_kernels.cu:471-560)."""
+    from . import projective as _pj
+
+    return _pj.projective_transform(poses, disps, intrinsics, ii, jj)
+
+
 class CorrPyramid:
     """Convenience wrapper holding a pyramid for a fixed set of edges.
 

@@ -110,6 +110,7 @@ def make_update_kernel(
     def kernel(
         # buffers
         poses, disps, damping, intrinsics, fmaps_buf, inps_buf,
+        fmaps_right_buf,
         # active edges
         e_net, e_target, e_weight, ii, jj, e_mask,
         # inactive edges
@@ -124,8 +125,14 @@ def make_update_kernel(
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
         # correlation volume: built ONCE per keyframe step (features are
-        # fixed across rounds), one MXU matmul
-        vol = corr_ops.build_volume_nhwc(fmaps_buf[ii], fmaps_buf[jj])
+        # fixed across rounds), one MXU matmul.  Stereo (ii==jj) edges
+        # correlate against the right-camera features
+        # (covisible_graph.py:128-130)
+        f2 = fmaps_buf[jj]
+        if fmaps_right_buf is not None:
+            stereo_e = (ii == jj)[:, None, None, None]
+            f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
+        vol = corr_ops.build_volume_nhwc(fmaps_buf[ii], f2)
         inp_e = inps_buf[ii]
 
         def one_round(_, carry):
@@ -259,11 +266,11 @@ def make_update_kernel(
             cull_dist=cull_distance(poses, disps),
         )
 
-    # donate: poses(0), disps(1), e_net(6), e_target(7), e_weight(8)
+    # donate: poses(0), disps(1), e_net(7), e_target(8), e_weight(9)
     return jax.jit(
         kernel,
         static_argnames=("iters", "use_inactive", "rounds", "do_ba"),
-        donate_argnums=(0, 1, 6, 7, 8),
+        donate_argnums=(0, 1, 7, 8, 9),
     )
 
 
@@ -550,6 +557,7 @@ class CovisibleGraph:
             out = self._kernel(
                 self.video.poses, self.video.disps, self.video.damping,
                 self.video.intrinsics, self.video.fmaps, self.video.inps,
+                self.video.fmaps_right,
                 self.edges.net, self.edges.target, self.edges.weight,
                 self._padded(self.ii), self._padded(self.jj), jnp.asarray(e_mask),
                 self.t_inac, self.w_inac,
@@ -602,7 +610,8 @@ class CovisibleGraph:
         """Dense all-pairs edges within radius r (covisible_graph.py:344-354)."""
         ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1), indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
-        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        c = 1 if self.cfg.stereo else 0
+        keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
     def add_proximity_factors(
@@ -649,6 +658,11 @@ class CovisibleGraph:
         )
         if res is not None:
             ii_new, jj_new = res
+            if self.cfg.stereo:
+                # stereo self-edges (covisible_graph.py:397-399)
+                selfs = np.arange(t0, t, dtype=np.int64)
+                ii_new = np.concatenate([selfs, ii_new])
+                jj_new = np.concatenate([selfs, jj_new])
             if len(ii_new):
                 self.add_factors(ii_new, jj_new, remove)
             return
@@ -673,6 +687,11 @@ class CovisibleGraph:
 
         es = []
         for i in range(t0, t):
+            if self.cfg.stereo:
+                es.append((i, i))
+                k_self = (i - t0) * (t - t1) + (i - t1)
+                if 0 <= k_self < cc:
+                    d[k_self] = np.inf
             for j in range(max(i - rad - 1, 0), i):
                 es.append((i, j))
                 es.append((j, i))

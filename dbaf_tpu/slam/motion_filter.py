@@ -78,12 +78,21 @@ class MotionFilter:
         image: np.ndarray,
         depth: Optional[np.ndarray] = None,
         intrinsics: Optional[np.ndarray] = None,
+        image_right: Optional[np.ndarray] = None,
     ) -> bool:
         """Process one frame; returns True if admitted as keyframe.
 
-        image: (H, W, 3) BGR float/uint8 host array.
+        image: (H, W, 3) BGR float/uint8 host array; image_right feeds the
+        stereo feature buffer when the rig is stereo.
         """
         img = jnp.asarray(image, dtype=jnp.float32)[None]
+
+        def right_fmap():
+            if image_right is None:
+                return None
+            return self.feat(
+                jnp.asarray(image_right, dtype=jnp.float32)[None]
+            )[0]
 
         if self.video.counter == 0:
             fmap = self.feat(img)[0]
@@ -94,7 +103,7 @@ class MotionFilter:
                 tstamp, small, lie.se3_identity(), 1.0,
                 None if depth is None else jnp.asarray(depth),
                 jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0,
-                fmap, net[0], inp[0],
+                fmap, net[0], inp[0], fmap_right=right_fmap(),
             )
             return True
 
@@ -111,7 +120,7 @@ class MotionFilter:
                 tstamp, small, None, None,
                 None if depth is None else jnp.asarray(depth),
                 jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0,
-                fmap, net[0], inp[0],
+                fmap, net[0], inp[0], fmap_right=right_fmap(),
             )
             return True
         self.count += 1

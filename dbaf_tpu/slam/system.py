@@ -118,9 +118,10 @@ class DBAFusion:
         image: np.ndarray,
         depth: Optional[np.ndarray] = None,
         intrinsics: Optional[np.ndarray] = None,
+        image_right: Optional[np.ndarray] = None,
     ):
         """Feed one frame (dbaf.py:50-58)."""
-        self.filter.track(tstamp, image, depth, intrinsics)
+        self.filter.track(tstamp, image, depth, intrinsics, image_right)
         self.frontend()
 
     @property

@@ -103,6 +103,13 @@ class DepthVideo:
         self.disps_sens = jnp.zeros((B, h8, w8), dtype=jnp.float32)
         self.damping = 1e-6 * jnp.ones((B, h8, w8), dtype=jnp.float32)
         self.fmaps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+        # right-camera features for stereo rigs (the c=2 axis of the
+        # reference's fmaps buffer, depth_video.py:64); populated only when
+        # cfg.stereo
+        self.fmaps_right = (
+            jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+            if cfg.stereo else None
+        )
         self.nets = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
         self.inps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
         self.intrinsics = jnp.zeros((4,), dtype=jnp.float32)  # at 1/8 scale
@@ -128,6 +135,7 @@ class DepthVideo:
         fmap: jnp.ndarray,
         net: jnp.ndarray,
         inp: jnp.ndarray,
+        fmap_right: Optional[jnp.ndarray] = None,
     ) -> int:
         """Add a keyframe at the next slot; returns its index."""
         idx = self.counter
@@ -150,6 +158,10 @@ class DepthVideo:
         self.fmaps, self.nets, self.inps = _set_features(
             self.fmaps, self.nets, self.inps, idx, fmap, net, inp
         )
+        if fmap_right is not None and self.fmaps_right is not None:
+            self.fmaps_right = _set_row(
+                self.fmaps_right, idx, fmap_right.astype(jnp.bfloat16)
+            )
         self.counter += 1
         return idx
 
@@ -160,10 +172,15 @@ class DepthVideo:
         self.disps = _set_row(self.disps, idx, disp)
 
     # ------------------------------------------------------------------
+    _SHIFT_BUFFERS = ("poses", "disps", "disps_sens", "damping", "fmaps",
+                      "nets", "inps", "fmaps_right")
+
     def rm_keyframe(self, ix: int):
         """Drop keyframe ``ix``, shifting slot ix+1 down (covisible_graph.py:180-195)."""
-        for name in ("poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps"):
-            setattr(self, name, _copy_row(getattr(self, name), ix, ix + 1))
+        for name in self._SHIFT_BUFFERS:
+            buf = getattr(self, name)
+            if buf is not None:
+                setattr(self, name, _copy_row(buf, ix, ix + 1))
         self.tstamp[ix] = self.tstamp[ix + 1]
         self.images_small[ix] = self.images_small[ix + 1]
         self.counter -= 1
@@ -181,8 +198,10 @@ class DepthVideo:
         """Shift the whole buffer down (dbaf_frontend.py:89-151)."""
         for i in range(shift):
             self.archive(i)
-        for name in ("poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps"):
-            setattr(self, name, _roll(getattr(self, name), shift))
+        for name in self._SHIFT_BUFFERS:
+            buf = getattr(self, name)
+            if buf is not None:
+                setattr(self, name, _roll(buf, shift))
         self.tstamp = np.roll(self.tstamp, -shift)
         self.images_small = np.roll(self.images_small, -shift, axis=0)
         self.counter -= shift

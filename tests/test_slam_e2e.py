@@ -161,6 +161,34 @@ def test_e2e_visual_only_converges():
 
 
 @pytest.mark.slow
+def test_stereo_mode_runs_with_self_edges():
+    """Stereo rig wiring: right-feature buffer + (i,i) self-edges flow
+    through the kernel (the depth terms of stereo edges anchor scale)."""
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, stereo=True)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_poses, gt_disps = make_scene(12, intr)
+    h = Harness(cfg, jnp.asarray(gt_poses), jnp.asarray(gt_disps), intr)
+    for k in range(12):
+        idx = h.video.counter
+        h.video.append(
+            float(k), None, None, None, None, h.intr8,
+            h.zeros_feat, h.zeros_feat, h.zeros_feat,
+            fmap_right=h.zeros_feat,
+        )
+        h.id_map[idx] = k
+        h.graph.aux = {"id_map": jnp.asarray(h.id_map)}
+        h.frontend()
+        h.id_map[: h.video.counter] = np.round(
+            h.video.tstamp[: h.video.counter]
+        ).astype(np.int32)
+        h.graph.aux = {"id_map": jnp.asarray(h.id_map)}
+    assert h.frontend.is_initialized
+    assert np.any(h.graph.ii == h.graph.jj), "no stereo self-edges"
+    assert np.all(np.isfinite(np.asarray(h.video.poses[: h.frontend.t1])))
+
+
+@pytest.mark.slow
 def test_e2e_with_culling_and_rollup():
     # trigger culls (large keyframe_thresh culls slow-motion frames) and a
     # rollup (low rollup_start)
