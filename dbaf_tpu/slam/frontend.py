@@ -290,6 +290,10 @@ class Frontend:
                 and self.coupled.ten0 is not None:
             init_gnss(self.video, self.coupled, self.t1, self.coupled.ten0)
 
+        # upsample path (covisible_graph.py:339-340)
+        if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
+            self.graph.run_upsample(self.graph.agg_fn)
+
         # seed next slot (dbaf_frontend.py:371-373)
         self.video.seed_next(self.t1)
 

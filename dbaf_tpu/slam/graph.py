@@ -310,6 +310,7 @@ class CovisibleGraph:
         self.last_cull_dist = None  # device scalar from the last update
         self.aux = {}  # traced pytree forwarded to update_fn each call
         self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
+        self.agg_fn = None  # GraphAgg head for the upsample path
 
         # lazy device rebuild: membership changes compose on host and flush
         # as ONE permutation-gather (dispatch latency dominates on remote
@@ -604,6 +605,49 @@ class CovisibleGraph:
             self._conf_dev = res.edge_conf  # pulled lazily (host sync ~25 ms)
             self.last_cull_dist = res.cull_dist  # device scalar, pulled lazily
         self.age += rounds
+
+    # ------------------------------------------------------------------
+    def run_upsample(self, agg_fn: Callable):
+        """GraphAgg damping + convex disparity upsampling for frames with
+        active edges (the upsample=True path, covisible_graph.py:239-240,
+        339-340; droid_net.py:40-71).
+
+        agg_fn(net_e (E,H,W,128), ii (E,), num_frames) -> (eta (B,H,W),
+        upmask (B,H,W,576)).
+        """
+        if self.n == 0:
+            return
+        self._flush()
+        B = self.video.poses.shape[0]
+        ii = self._padded(self.ii)
+        mask = np.zeros(self.e_cap, dtype=bool)
+        mask[: self.n] = True
+
+        @jax.jit
+        def apply(net_e, ii_d, mask_d, disps, damping, disps_up):
+            # route padded edges to a dump frame so they don't pollute means
+            ii_routed = jnp.where(mask_d, jnp.clip(ii_d, 0, B - 1), B)
+            eta, upmask = agg_fn(net_e, ii_routed, B + 1)
+            eta, upmask = eta[:B], upmask[:B]
+            counts = jax.ops.segment_sum(
+                mask_d.astype(jnp.float32), ii_routed, num_segments=B + 1
+            )[:B]
+            has = (counts > 0)[:, None, None]
+            damping = jnp.where(has, eta, damping)
+            if disps_up is not None:
+                from ..train.unroll import upsample_disp
+
+                up = upsample_disp(disps, upmask)
+                disps_up = jnp.where(has, up, disps_up)
+            return damping, disps_up
+
+        damping, disps_up = apply(
+            self.edges.net, ii, jnp.asarray(mask),
+            self.video.disps, self.video.damping, self.video.disps_up,
+        )
+        self.video.damping = damping
+        if disps_up is not None:
+            self.video.disps_up = disps_up
 
     # ------------------------------------------------------------------
     def add_neighborhood_factors(self, t0: int, t1: int, r: int = 3):

@@ -38,7 +38,18 @@ def _model_fns(cfg: DBAFusionConfig, params):
         )
         return net_new, delta, weight
 
-    return feat_fn, ctx_fn, update_fn
+    agg_fn = None
+    if cfg.upsample and "agg" in params.get("update", {}):
+        from ..models.net import GraphAgg
+
+        agg_mod = GraphAgg()
+
+        def agg_fn(net, ii, num_frames):
+            return agg_mod.apply(
+                {"params": params["update"]["agg"]}, net, ii, num_frames
+            )
+
+    return feat_fn, ctx_fn, update_fn, agg_fn
 
 
 class DBAFusion:
@@ -60,6 +71,7 @@ class DBAFusion:
         self.cfg = cfg
         self.video = DepthVideo(cfg)
 
+        agg_fn = None
         if update_fn is None or feat_fn is None or ctx_fn is None:
             if params is None:
                 if cfg.weights_path is None:
@@ -67,12 +79,13 @@ class DBAFusion:
                         "need weights_path/params or injected feat/ctx/update fns"
                     )
                 params = load_droid_weights(cfg.weights_path)
-            f, c, u = _model_fns(cfg, params)
+            f, c, u, agg_fn = _model_fns(cfg, params)
             feat_fn = feat_fn or f
             ctx_fn = ctx_fn or c
             update_fn = update_fn or u
 
         self.graph = CovisibleGraph(self.video, update_fn, cfg)
+        self.graph.agg_fn = agg_fn
         self.filter = MotionFilter(self.video, cfg, feat_fn, ctx_fn, update_fn)
         self.frontend = Frontend(self.video, self.graph, cfg)
 

@@ -113,6 +113,11 @@ class DepthVideo:
         self.nets = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
         self.inps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
         self.intrinsics = jnp.zeros((4,), dtype=jnp.float32)  # at 1/8 scale
+        # full-resolution convex-upsampled disparities (depth_video.py:57),
+        # filled by the GraphAgg path when cfg.upsample
+        self.disps_up = (
+            jnp.zeros((B, ht, wd), dtype=jnp.float32) if cfg.upsample else None
+        )
 
         # host-side archival of marginalized keyframes (.pkl export path)
         self.saved_tstamps: List[float] = []
@@ -173,7 +178,7 @@ class DepthVideo:
 
     # ------------------------------------------------------------------
     _SHIFT_BUFFERS = ("poses", "disps", "disps_sens", "damping", "fmaps",
-                      "nets", "inps", "fmaps_right")
+                      "nets", "inps", "fmaps_right", "disps_up")
 
     def rm_keyframe(self, ix: int):
         """Drop keyframe ``ix``, shifting slot ix+1 down (covisible_graph.py:180-195)."""

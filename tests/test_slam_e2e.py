@@ -188,6 +188,30 @@ def test_stereo_mode_runs_with_self_edges():
     assert np.all(np.isfinite(np.asarray(h.video.poses[: h.frontend.t1])))
 
 
+def test_run_upsample_updates_damping_and_disps_up():
+    cfg = dataclasses.replace(make_cfg(), upsample=True)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_poses, gt_disps = make_scene(10, intr)
+    h = Harness(cfg, jnp.asarray(gt_poses), jnp.asarray(gt_disps), intr)
+    for k in range(9):
+        h.feed(k)
+    assert h.graph.n > 0
+
+    def dummy_agg(net, ii, num_frames):
+        eta = 0.5 * jnp.ones((num_frames, H8, W8), jnp.float32)
+        upmask = jnp.zeros((num_frames, H8, W8, 576), jnp.float32)
+        # uniform mask -> upsampled value = 3x3 local average
+        return eta, upmask
+
+    h.graph.run_upsample(dummy_agg)
+    frames = np.unique(h.graph.ii)
+    damp = np.asarray(h.video.damping)
+    assert np.allclose(damp[frames], 0.5, atol=1e-5)
+    up = np.asarray(h.video.disps_up)
+    assert up.shape == (cfg.buffer, 8 * H8, 8 * W8)
+    assert np.any(up[frames] > 0)
+
+
 @pytest.mark.slow
 def test_e2e_with_culling_and_rollup():
     # trigger culls (large keyframe_thresh culls slow-motion frames) and a
