@@ -111,6 +111,33 @@ def projective_transform(
     return coords, valid[..., None].astype(coords.dtype)
 
 
+def projective_transform_comp(
+    poses: jnp.ndarray,
+    disps: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    xyz_comp: jnp.ndarray,
+    min_depth: float = MIN_DEPTH_PY,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reprojection with additive object-motion compensation
+    (/root/reference/dbaf/geom/projective_ops.py:127-158).
+
+    xyz_comp: (E, H, W, 4) homogeneous offset added to the transformed
+    points before projection (dynamic-object handling).
+    """
+    if intrinsics.ndim == 1:
+        intr_i = intr_j = jnp.broadcast_to(intrinsics, ii.shape + (4,))
+    else:
+        intr_i, intr_j = intrinsics[ii], intrinsics[jj]
+    X0 = iproj(disps[ii], intr_i)
+    gij = _edge_rel_poses(poses, ii, jj)
+    X1 = lie.se3_act4(gij[:, None, None, :], X0) + xyz_comp
+    coords = proj(X1, intr_j, min_depth=min_depth)
+    valid = (X1[..., 2] > min_depth) & (X0[..., 2] > min_depth)
+    return coords, valid[..., None].astype(coords.dtype)
+
+
 def induced_flow(
     poses: jnp.ndarray,
     disps: jnp.ndarray,

@@ -368,6 +368,23 @@ class MultiSensorBA:
             )
 
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Picklable snapshot: device arrays -> numpy, video unlinked
+        (re-attached by DBAFusion.load_state)."""
+        d = dict(self.__dict__)
+        d["video"] = None
+        for k in ("cur_target", "cur_weight"):
+            if d.get(k) is not None:
+                d[k] = np.asarray(d[k])
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        if self.cur_target is not None:
+            self.cur_target = jnp.asarray(self.cur_target)
+            self.cur_weight = jnp.asarray(self.cur_weight)
+
+    # ------------------------------------------------------------------
     def rollup(self, roll: int):
         """Rekey all graph state after a window shift
         (dbaf_frontend.py:106-151)."""

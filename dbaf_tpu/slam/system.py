@@ -141,6 +141,92 @@ class DBAFusion:
     def trajectory(self):
         return self.frontend.trajectory
 
+    # ------------------------------------------------------------------
+    _VIDEO_ARRAYS = (
+        "poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps",
+        "fmaps_right", "disps_up", "intrinsics",
+    )
+    _GRAPH_HOST = ("ii", "jj", "age", "ii_inac", "jj_inac", "ii_bad", "jj_bad")
+
+    def save_state(self, path: str):
+        """Snapshot the full streaming state for resume/debug (the
+        checkpointing capability SURVEY.md 5.4 calls for; the reference has
+        none)."""
+        import pickle
+
+        import jax.numpy as jnp
+
+        v, g, fe = self.video, self.graph, self.frontend
+        state = {
+            "video": {
+                name: (None if getattr(v, name) is None
+                       else np.asarray(getattr(v, name)))
+                for name in self._VIDEO_ARRAYS
+            },
+            "video_host": {
+                "tstamp": v.tstamp.copy(),
+                "images_small": v.images_small.copy(),
+                "counter": v.counter,
+                "saved": (v.saved_tstamps, v.saved_poses, v.saved_disps,
+                          v.saved_images),
+                "imu_enabled": v.imu_enabled,
+            },
+            "graph": {name: getattr(g, name).copy() for name in self._GRAPH_HOST},
+            "graph_dev": {
+                "net": np.asarray(g.edges.net),
+                "target": np.asarray(g.edges.target),
+                "weight": np.asarray(g.edges.weight),
+                "t_inac": np.asarray(g.t_inac),
+                "w_inac": np.asarray(g.w_inac),
+            },
+            "frontend": {
+                "t0": fe.t0, "t1": fe.t1, "count": fe.count,
+                "is_initialized": fe.is_initialized,
+                "trajectory": fe.trajectory,
+                "cur_imu_ii": fe.cur_imu_ii, "cur_stamp_ii": fe.cur_stamp_ii,
+            },
+            "coupled": self.graph.coupled,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_state(self, path: str):
+        import pickle
+
+        import jax.numpy as jnp
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        v, g, fe = self.video, self.graph, self.frontend
+        for name, arr in state["video"].items():
+            if arr is not None:
+                dtype = getattr(v, name).dtype
+                setattr(v, name, jnp.asarray(arr, dtype))
+        vh = state["video_host"]
+        v.tstamp = vh["tstamp"]
+        v.images_small = vh["images_small"]
+        v.counter = vh["counter"]
+        (v.saved_tstamps, v.saved_poses, v.saved_disps, v.saved_images) = vh["saved"]
+        v.imu_enabled = vh["imu_enabled"]
+        for name, arr in state["graph"].items():
+            setattr(g, name, arr)
+        gd = state["graph_dev"]
+        from .graph import EdgeArrays
+
+        g.edges = EdgeArrays(
+            jnp.asarray(gd["net"], jnp.bfloat16),
+            jnp.asarray(gd["target"], jnp.float32),
+            jnp.asarray(gd["weight"], jnp.float32),
+        )
+        g.t_inac = jnp.asarray(gd["t_inac"], jnp.float32)
+        g.w_inac = jnp.asarray(gd["w_inac"], jnp.float32)
+        for k, val in state["frontend"].items():
+            setattr(fe, k, val)
+        if state["coupled"] is not None:
+            coupled = state["coupled"]
+            coupled.video = self.video
+            g.coupled = coupled
+
     def terminate(self):
         """Flush state; returns the keyframe trajectory as (N, 8) array
         ``[t, x, y, z, qx, qy, qz, qw]`` (camera-to-world)."""

@@ -188,6 +188,51 @@ def test_stereo_mode_runs_with_self_edges():
     assert np.all(np.isfinite(np.asarray(h.video.poses[: h.frontend.t1])))
 
 
+def test_save_load_state_roundtrip(tmp_path):
+    """Checkpoint/resume: a saved system continues tracking identically."""
+    import pickle
+
+    cfg = make_cfg()
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_poses, gt_disps = make_scene(16, intr)
+    h = Harness(cfg, jnp.asarray(gt_poses), jnp.asarray(gt_disps), intr)
+    for k in range(12):
+        h.feed(k)
+
+    # snapshot via the system API surface (harness mirrors DBAFusion attrs)
+    from dbaf_tpu.slam.system import DBAFusion
+
+    sys_like = DBAFusion.__new__(DBAFusion)
+    sys_like.video, sys_like.graph, sys_like.frontend = (
+        h.video, h.graph, h.frontend
+    )
+    path = str(tmp_path / "state.pkl")
+    sys_like.save_state(path)
+
+    poses_before = np.asarray(h.video.poses[: h.frontend.t1])
+    for k in range(12, 16):
+        h.feed(k)
+    poses_after_a = np.asarray(h.video.poses[: h.frontend.t1])
+
+    # restore into a fresh harness and continue
+    h2 = Harness(cfg, jnp.asarray(gt_poses), jnp.asarray(gt_disps), intr)
+    sys_like2 = DBAFusion.__new__(DBAFusion)
+    sys_like2.video, sys_like2.graph, sys_like2.frontend = (
+        h2.video, h2.graph, h2.frontend
+    )
+    sys_like2.load_state(path)
+    np.testing.assert_allclose(
+        np.asarray(h2.video.poses[: h2.frontend.t1]), poses_before, atol=1e-6
+    )
+    h2.id_map[: h2.video.counter] = np.round(
+        h2.video.tstamp[: h2.video.counter]
+    ).astype(np.int32)
+    for k in range(12, 16):
+        h2.feed(k)
+    poses_after_b = np.asarray(h2.video.poses[: h2.frontend.t1])
+    np.testing.assert_allclose(poses_after_b, poses_after_a, atol=1e-4)
+
+
 def test_run_upsample_updates_damping_and_disps_up():
     cfg = dataclasses.replace(make_cfg(), upsample=True)
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
