@@ -119,8 +119,10 @@ def make_update_kernel(
         t0, t1, s0, imu_enabled,
         # opaque pytree forwarded to update_fn (test oracles, extra context)
         aux,
+        # traced loop count (dynamic: one compiled kernel serves any count)
+        rounds,
         # static
-        iters: int, use_inactive: bool, rounds: int, do_ba: bool,
+        iters: int, use_inactive: bool, do_ba: bool,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -269,7 +271,7 @@ def make_update_kernel(
     # donate: poses(0), disps(1), e_net(7), e_target(8), e_weight(9)
     return jax.jit(
         kernel,
-        static_argnames=("iters", "use_inactive", "rounds", "do_ba"),
+        static_argnames=("iters", "use_inactive", "do_ba"),
         donate_argnums=(0, 1, 7, 8, 9),
     )
 
@@ -568,8 +570,8 @@ class CovisibleGraph:
                 jnp.asarray(s0, dtype=jnp.int32),
                 jnp.asarray(self.video.imu_enabled, dtype=bool),
                 self.aux,
+                jnp.asarray(1 if coupled_mode else rounds, jnp.int32),
                 iters=iters, use_inactive=use_inactive,
-                rounds=1 if coupled_mode else rounds,
                 do_ba=not coupled_mode,
             )
             if coupled_mode:
