@@ -48,10 +48,11 @@ def main(argv=None):
 
         gt = os.path.join(datadir, "mav0/mocap0/data.csv")
         if os.path.isfile(gt) and os.path.isfile(result):
+            from ..data.streams import load_mocap_gt
             from ..eval.evaluate import evaluate
             from ..eval.traj_io import read_tum
 
-            res = evaluate(read_tum(result), read_tum(gt))
+            res = evaluate(read_tum(result), load_mocap_gt(gt))
             summary[seq] = res["ate_rmse"]
             print(f"[batch] {seq}: ATE RMSE {res['ate_rmse']:.4f} m", flush=True)
 

@@ -136,3 +136,15 @@ def load_imu(path: str, time_scale: float = 1e-9,
 def load_stamps(path: str, time_scale: float = 1e-9) -> np.ndarray:
     raw = np.loadtxt(path, str, delimiter=",")
     return (raw[:, 0].astype(np.float64) * time_scale)[:, None]
+
+
+def load_mocap_gt(path: str, time_scale: float = 1e-9) -> np.ndarray:
+    """EuRoC/TUM-VI mocap csv (ns, p_xyz, q_wxyz) -> TUM rows
+    [t(s), x, y, z, qx, qy, qz, qw] for the evaluation tools."""
+    raw = np.loadtxt(path, delimiter=",", comments="#")
+    out = np.zeros((len(raw), 8))
+    out[:, 0] = raw[:, 0] * time_scale
+    out[:, 1:4] = raw[:, 1:4]
+    out[:, 4:7] = raw[:, 5:8]  # qx qy qz
+    out[:, 7] = raw[:, 4]      # qw
+    return out

@@ -142,6 +142,53 @@ def _segment_vector(vecs: jnp.ndarray, rows: jnp.ndarray, P: int) -> jnp.ndarray
     return out[:P]
 
 
+def _edge_pose_indices(ii, jj, nfixed, nactive):
+    """Window-local pose rows; -1 marks fixed/out-of-window endpoints."""
+    def loc(x):
+        return jnp.where((x >= nfixed) & (x < nactive), x, -1)
+
+    return loc(ii), loc(jj)
+
+
+def _accumulate_pose_system(sys_e: EdgeSystem, li, lj, P: int):
+    """Scatter per-edge 12x12 blocks into the (P,P,6,6) pose system."""
+    Hii = sys_e.H[:, :6, :6]
+    Hij = sys_e.H[:, :6, 6:]
+    Hji = sys_e.H[:, 6:, :6]
+    Hjj = sys_e.H[:, 6:, 6:]
+    A = (
+        _segment_matrix(Hii, li, li, P)
+        + _segment_matrix(Hij, li, lj, P)
+        + _segment_matrix(Hji, lj, li, P)
+        + _segment_matrix(Hjj, lj, lj, P)
+    )
+    b = _segment_vector(sys_e.v[:, :6], li, P) + _segment_vector(
+        sys_e.v[:, 6:], lj, P
+    )
+    return A, b
+
+
+def _accumulate_depth_diag(sys_e: EdgeSystem, ki, P: int):
+    C = jax.ops.segment_sum(sys_e.C, ki, num_segments=P)
+    w = jax.ops.segment_sum(sys_e.w, ki, num_segments=P)
+    return C, w
+
+
+def _finish_depth_diag(C, w, eta, depth_active, disps, disps_sens, alpha):
+    """Depth damping + optional depth-sensor prior blend
+    (ba_cuda :1474-1480), guarding empty blocks."""
+    P, D = C.shape
+    if disps_sens is not None and disps is not None:
+        m = (disps_sens.reshape(P, D) > 0).astype(C.dtype)
+        C = C + m * alpha + (1.0 - m) * eta.reshape(P, D)
+        w = w - m * alpha * (disps.reshape(P, D) - disps_sens.reshape(P, D))
+    else:
+        C = C + eta.reshape(P, D)
+    C = jnp.where(depth_active[:, None], C, 1.0)
+    w = jnp.where(depth_active[:, None], w, 0.0)
+    return C, w
+
+
 class WindowSystem(NamedTuple):
     """Assembled window-local system before the pose solve.
 
@@ -182,47 +229,18 @@ def assemble_window_system(
     E = ii.shape[0]
     D = sys_e.C.shape[-1]
 
-    # pose indices are active only in [nfixed, nactive)
-    def loc(x):
-        return jnp.where((x >= nfixed) & (x < nactive), x, -1)
-
-    li, lj = loc(ii), loc(jj)
-
-    Hii = sys_e.H[:, :6, :6]
-    Hij = sys_e.H[:, :6, 6:]
-    Hji = sys_e.H[:, 6:, :6]
-    Hjj = sys_e.H[:, 6:, 6:]
-
-    A = (
-        _segment_matrix(Hii, li, li, P)
-        + _segment_matrix(Hij, li, lj, P)
-        + _segment_matrix(Hji, lj, li, P)
-        + _segment_matrix(Hjj, lj, lj, P)
-    )
-    b = _segment_vector(sys_e.v[:, :6], li, P) + _segment_vector(
-        sys_e.v[:, 6:], lj, P
-    )
+    li, lj = _edge_pose_indices(ii, jj, nfixed, nactive)
+    A, b = _accumulate_pose_system(sys_e, li, lj, P)
 
     # depth blocks: every window slot < nactive owns one (frame = slot)
     slot = jnp.arange(P)
     depth_active = slot < nactive
-
-    C = jax.ops.segment_sum(sys_e.C, jnp.clip(ii, 0, P - 1), num_segments=P)
-    w = jax.ops.segment_sum(sys_e.w, jnp.clip(ii, 0, P - 1), num_segments=P)
-
-    if disps_sens is not None and disps is not None:
-        m = (disps_sens.reshape(P, D) > 0).astype(C.dtype)
-        C = C + m * alpha + (1.0 - m) * eta.reshape(P, D)
-        w = w - m * alpha * (disps.reshape(P, D) - disps_sens.reshape(P, D))
-    else:
-        C = C + eta.reshape(P, D)
-    # guard empty depth blocks
-    C = jnp.where(depth_active[:, None], C, 1.0)
-    w = jnp.where(depth_active[:, None], w, 0.0)
+    ki = jnp.clip(ii, 0, P - 1)
+    C, w = _accumulate_depth_diag(sys_e, ki, P)
+    C, w = _finish_depth_diag(C, w, eta, depth_active, disps, disps_sens, alpha)
 
     # dense E: (P poses, 6, P depth blocks, D) scattered from Ei at (li, ii)
     # and Ej at (lj, ii)
-    ki = jnp.clip(ii, 0, P - 1)
 
     def scatter_E(blocks, rows):
         valid = rows >= 0
@@ -383,39 +401,14 @@ def assemble_pairwise(
     E = ii.shape[0]
     D = sys_e.C.shape[-1]
 
-    def loc(x):
-        return jnp.where((x >= nfixed) & (x < nactive), x, -1)
-
-    li, lj = loc(ii), loc(jj)
-
-    Hii = sys_e.H[:, :6, :6]
-    Hij = sys_e.H[:, :6, 6:]
-    Hji = sys_e.H[:, 6:, :6]
-    Hjj = sys_e.H[:, 6:, 6:]
-    A = (
-        _segment_matrix(Hii, li, li, P)
-        + _segment_matrix(Hij, li, lj, P)
-        + _segment_matrix(Hji, lj, li, P)
-        + _segment_matrix(Hjj, lj, lj, P)
-    )
-    b = _segment_vector(sys_e.v[:, :6], li, P) + _segment_vector(
-        sys_e.v[:, 6:], lj, P
-    )
+    li, lj = _edge_pose_indices(ii, jj, nfixed, nactive)
+    A, b = _accumulate_pose_system(sys_e, li, lj, P)
 
     slot = jnp.arange(P)
     depth_active = slot < nactive
     ki = jnp.clip(ii, 0, P - 1)
-
-    C = jax.ops.segment_sum(sys_e.C, ki, num_segments=P)
-    w = jax.ops.segment_sum(sys_e.w, ki, num_segments=P)
-    if disps_sens is not None and disps is not None:
-        m = (disps_sens.reshape(P, D) > 0).astype(C.dtype)
-        C = C + m * alpha + (1.0 - m) * eta.reshape(P, D)
-        w = w - m * alpha * (disps.reshape(P, D) - disps_sens.reshape(P, D))
-    else:
-        C = C + eta.reshape(P, D)
-    C = jnp.where(depth_active[:, None], C, 1.0)
-    w = jnp.where(depth_active[:, None], w, 0.0)
+    C, w = _accumulate_depth_diag(sys_e, ki, P)
+    C, w = _finish_depth_diag(C, w, eta, depth_active, disps, disps_sens, alpha)
     Q = 1.0 / C
 
     # per-edge stacked coupling rows, masked by pose-role validity

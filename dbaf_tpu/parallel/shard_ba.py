@@ -52,34 +52,22 @@ def make_sharded_ba_iteration(mesh: Mesh, P_win: int, axis: str = "edge"):
             poses, disps, intrinsics, targets, weights, ii, jj, mask
         )
 
-        def loc(x):
-            return jnp.where((x >= nfixed) & (x < nactive), x, -1)
-
-        li, lj = loc(ii), loc(jj)
+        li, lj = dba._edge_pose_indices(ii, jj, nfixed, nactive)
         ki = jnp.clip(ii, 0, P_win - 1)
 
         # ---- psum: depth diagonal + pose system assembled across shards
-        C_part = jax.ops.segment_sum(es.C, ki, num_segments=P_win)
-        w_part = jax.ops.segment_sum(es.w, ki, num_segments=P_win)
+        C_part, w_part = dba._accumulate_depth_diag(es, ki, P_win)
         C = jax.lax.psum(C_part, axis)
         w = jax.lax.psum(w_part, axis)
 
         slot = jnp.arange(P_win)
         depth_active = slot < nactive
-        C = jnp.where(depth_active[:, None], C + eta.reshape(P_win, -1), 1.0)
-        w = jnp.where(depth_active[:, None], w, 0.0)
+        C, w = dba._finish_depth_diag(
+            C, w, eta, depth_active, None, None, 0.05
+        )
         Q = 1.0 / C
 
-        Hii, Hij = es.H[:, :6, :6], es.H[:, :6, 6:]
-        Hji, Hjj = es.H[:, 6:, :6], es.H[:, 6:, 6:]
-        A_part = (
-            dba._segment_matrix(Hii, li, li, P_win)
-            + dba._segment_matrix(Hij, li, lj, P_win)
-            + dba._segment_matrix(Hji, lj, li, P_win)
-            + dba._segment_matrix(Hjj, lj, lj, P_win)
-        )
-        b_part = dba._segment_vector(es.v[:, :6], li, P_win) + \
-            dba._segment_vector(es.v[:, 6:], lj, P_win)
+        A_part, b_part = dba._accumulate_pose_system(es, li, lj, P_win)
         A = jax.lax.psum(A_part, axis)
         b = jax.lax.psum(b_part, axis)
 

@@ -412,6 +412,6 @@ class MultiSensorBA:
                 new_res[k[0] + str(idx - roll)] = val
             self.cur_result = new_res
         self.state.rollup(roll)
-        self.vi_init_t1 -= roll
-        if self.gnss_init_t1 > 0:
-            self.gnss_init_t1 -= roll
+        # vi_init_t1 / gnss_init_t1 are "has initialized" flags compared
+        # against 0 (frontend.py gates, ba() GNSS gate) -- the reference
+        # never shifts them on rollup (dbaf_frontend.py:89-151)

@@ -129,7 +129,16 @@ class Frontend:
     def _ingest_sensors(self, cur_t: float):
         """IMU drain + GNSS/ZUPT/odo attachment (dbaf_frontend.py:162-220)."""
         state = self.coupled.state
-        while self.all_imu[self.cur_imu_ii][0] < cur_t:
+        n_imu = len(self.all_imu)
+        if self.cur_imu_ii >= n_imu - 1:
+            # IMU stream exhausted (video outlasts the IMU file): keep the
+            # state timeline consistent and let tracking continue visually
+            state.append_imu(cur_t, self.all_imu[-1][4:7],
+                             np.deg2rad(self.all_imu[-1][1:4]))
+            state.append_img(cur_t)
+            return
+        while (self.cur_imu_ii < n_imu - 1
+               and self.all_imu[self.cur_imu_ii][0] < cur_t):
             imu = self.all_imu[self.cur_imu_ii]
             # high-frequency IMU-rate output between keyframes
             if self.high_freq_output and self.video.imu_enabled and \
@@ -229,6 +238,11 @@ class Frontend:
             remove=True,
         )
 
+        # RGB-D: seed the new frame's disparity from the depth sensor
+        # (dbaf_frontend.py:247-248)
+        if self.video.has_depth:
+            self.video.seed_depth(self.t1 - 1)
+
         self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
 
         # rollup (dbaf_frontend.py:253-257)
@@ -260,9 +274,10 @@ class Frontend:
             )
         cull = d < self.keyframe_thresh
         if multisensor and self.video.imu_enabled and not cull:
-            # translation hysteresis (dbaf_frontend.py:319-325)
+            # translation hysteresis (dbaf_frontend.py:319-325): candidates
+            # are t1-10..t1-4 (the immediate neighbor t1-3 is excluded)
             lo = self.t1 - 10 if self.t1 > 10 else self.t1 - 6
-            poses = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 2])
+            poses = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 3])
             ref = np.asarray(self.video.poses[self.t1 - 2])
             rel = np.asarray(
                 lie.se3_mul(

@@ -109,7 +109,7 @@ def make_update_kernel(
 
     def kernel(
         # buffers
-        poses, disps, damping, intrinsics, fmaps_buf, inps_buf,
+        poses, disps, disps_sens, damping, intrinsics, fmaps_buf, inps_buf,
         fmaps_right_buf,
         # active edges
         e_net, e_target, e_weight, ii, jj, e_mask,
@@ -122,7 +122,7 @@ def make_update_kernel(
         # traced loop count (dynamic: one compiled kernel serves any count)
         rounds,
         # static
-        iters: int, use_inactive: bool, do_ba: bool,
+        iters: int, use_inactive: bool, do_ba: bool, use_sens: bool,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -221,10 +221,16 @@ def make_update_kernel(
             ii_w = jnp.clip(ii_all - s0, 0, P - 1)
             jj_w = jnp.clip(jj_all - s0, 0, P - 1)
 
+            sens_w = None
+            if use_sens:
+                sens_w = jax.lax.dynamic_slice(
+                    disps_sens, (s0, 0, 0), (P,) + disps_sens.shape[1:]
+                )
             state = dba.ba(
                 poses_w, disps_w, intrinsics, t_all, w_ba, eta, ii_w, jj_w,
-                m_ba, t0 - s0, t1 - s0, iterations=iters,
-                lm=cfg.ba.lm, ep=cfg.ba.ep,
+                m_ba, t0 - s0, t1 - s0, disps_sens=sens_w,
+                iterations=iters, lm=cfg.ba.lm, ep=cfg.ba.ep,
+                alpha=cfg.ba.alpha, use_sens=use_sens,
             )
 
             poses = jax.lax.dynamic_update_slice(poses, state.poses, (s0, 0))
@@ -268,11 +274,11 @@ def make_update_kernel(
             cull_dist=cull_distance(poses, disps),
         )
 
-    # donate: poses(0), disps(1), e_net(7), e_target(8), e_weight(9)
+    # donate: poses(0), disps(1), e_net(8), e_target(9), e_weight(10)
     return jax.jit(
         kernel,
-        static_argnames=("iters", "use_inactive", "do_ba"),
-        donate_argnums=(0, 1, 7, 8, 9),
+        static_argnames=("iters", "use_inactive", "do_ba", "use_sens"),
+        donate_argnums=(0, 1, 8, 9, 10),
     )
 
 
@@ -558,7 +564,8 @@ class CovisibleGraph:
             i_mask[: len(self.ii_inac)] = True
 
             out = self._kernel(
-                self.video.poses, self.video.disps, self.video.damping,
+                self.video.poses, self.video.disps, self.video.disps_sens,
+                self.video.damping,
                 self.video.intrinsics, self.video.fmaps, self.video.inps,
                 self.video.fmaps_right,
                 self.edges.net, self.edges.target, self.edges.weight,
@@ -573,6 +580,7 @@ class CovisibleGraph:
                 jnp.asarray(1 if coupled_mode else rounds, jnp.int32),
                 iters=iters, use_inactive=use_inactive,
                 do_ba=not coupled_mode,
+                use_sens=self.video.has_depth,
             )
             if coupled_mode:
                 res, (t_all, w_ba) = out

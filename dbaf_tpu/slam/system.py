@@ -157,6 +157,7 @@ class DBAFusion:
         import jax.numpy as jnp
 
         v, g, fe = self.video, self.graph, self.frontend
+        g._flush()  # apply pending edge permutations before snapshotting
         state = {
             "video": {
                 name: (None if getattr(v, name) is None

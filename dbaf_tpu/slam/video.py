@@ -57,6 +57,12 @@ def _distance(poses, disps, intrinsics, ii, jj, beta):
     return pj.frame_distance_bidirectional(poses, disps, intrinsics, ii, jj, beta)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _seed_depth(disps, disps_sens, idx):
+    row = jnp.where(disps_sens[idx] > 0, disps_sens[idx], disps[idx])
+    return disps.at[idx].set(row)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _seed_next(poses, disps, idx):
     """poses[idx] = poses[idx-1]; disps[idx] = mean(disps[idx-1])
@@ -127,6 +133,7 @@ class DepthVideo:
         self.images_small = np.zeros((B, h8, w8, 3), dtype=np.uint8)
 
         self.imu_enabled = False
+        self.has_depth = False  # any depth frame appended (RGB-D mode)
 
     # ------------------------------------------------------------------
     def append(
@@ -159,6 +166,7 @@ class DepthVideo:
             self.disps_sens = _set_row(
                 self.disps_sens, idx, jnp.where(d8 > 0, 1.0 / d8, d8)
             )
+            self.has_depth = True
         self.intrinsics = intrinsics
         self.fmaps, self.nets, self.inps = _set_features(
             self.fmaps, self.nets, self.inps, idx, fmap, net, inp
@@ -240,4 +248,11 @@ class DepthVideo:
         """Copy pose and mean disparity from slot idx-1 into idx (one jit)."""
         self.poses, self.disps = _seed_next(
             self.poses, self.disps, jnp.asarray(idx, jnp.int32)
+        )
+
+    def seed_depth(self, idx: int):
+        """Seed the new frame's disparity from the depth sensor where valid
+        (dbaf_frontend.py:247-248)."""
+        self.disps = _seed_depth(
+            self.disps, self.disps_sens, jnp.asarray(idx, jnp.int32)
         )

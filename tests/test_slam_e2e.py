@@ -188,6 +188,39 @@ def test_stereo_mode_runs_with_self_edges():
     assert np.all(np.isfinite(np.asarray(h.video.poses[: h.frontend.t1])))
 
 
+@pytest.mark.slow
+def test_rgbd_depth_anchors_metric_scale():
+    """With sensor depth attached, the DBA depth prior must hold the
+    reconstruction at metric scale (no sim3 gauge freedom)."""
+    cfg = make_cfg()
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    n = 14
+    gt_poses, gt_disps = make_scene(n, intr)
+    h = Harness(cfg, jnp.asarray(gt_poses), jnp.asarray(gt_disps), intr)
+    for k in range(n):
+        idx = h.video.counter
+        depth_full = np.zeros((8 * H8, 8 * W8), dtype=np.float32)
+        depth_full[3::8, 3::8] = 1.0 / gt_disps[k]
+        h.video.append(
+            float(k), None, None, None, jnp.asarray(depth_full), h.intr8,
+            h.zeros_feat, h.zeros_feat, h.zeros_feat,
+        )
+        h.id_map[idx] = k
+        h.graph.aux = {"id_map": jnp.asarray(h.id_map)}
+        h.frontend()
+        h.id_map[: h.video.counter] = np.round(
+            h.video.tstamp[: h.video.counter]
+        ).astype(np.int32)
+        h.graph.aux = {"id_map": jnp.asarray(h.id_map)}
+
+    assert h.video.has_depth
+    t1 = h.frontend.t1
+    est = np.asarray(h.video.disps[1 : t1 - 1])
+    ref = gt_disps[1 : t1 - 1]
+    ratio = np.median(est / ref)
+    assert 0.9 < ratio < 1.1, ratio
+
+
 def test_save_load_state_roundtrip(tmp_path):
     """Checkpoint/resume: a saved system continues tracking identically."""
     import pickle
