@@ -282,6 +282,21 @@ def lookup_crop(
     return out.transpose(0, 2, 1).reshape(E, -1, H, W)
 
 
+def lookup_auto(
+    volume: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+) -> jnp.ndarray:
+    """Backend-dispatching lookup: the Pallas kernel on TPU (1.7x the XLA
+    formulation), the fused XLA path elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .corr_pallas import lookup_pallas
+
+        return lookup_pallas(volume, coords, radius, num_levels)
+    return lookup_fused(volume, coords, radius, num_levels)
+
+
 def _pooled_tri_kernel(
     coord: jnp.ndarray, size: int, radius: int, level: int
 ) -> jnp.ndarray:

@@ -149,7 +149,8 @@ def make_update_kernel(
             ).clip(-64.0, 64.0)
 
             # ---- multi-scale correlation lookup, fused over levels
-            corr = corr_ops.lookup_fused(vol, coords1, radius)
+            # (Pallas kernel on TPU)
+            corr = corr_ops.lookup_auto(vol, coords1, radius)
             corr = corr.transpose(0, 2, 3, 1)
 
             # ---- GRU update

@@ -38,7 +38,7 @@ def make_feat_gate(feat_fn: Callable, update_fn: Callable):
             fmap_cur[None].astype(jnp.bfloat16),
         )
         coords0 = pj.coords_grid(H, W)[None]
-        corr = corr_ops.lookup_fused(vol, coords0).transpose(0, 2, 3, 1)
+        corr = corr_ops.lookup_auto(vol, coords0).transpose(0, 2, 3, 1)
         zero_motn = jnp.zeros((1, H, W, 4), dtype=net_kf.dtype)
         ii = jnp.zeros((1,), dtype=jnp.int32)
         _, delta, _ = update_fn(

@@ -100,6 +100,21 @@ def test_crop_and_fast_pyramid_match_reference(rng):
     np.testing.assert_allclose(crop, ref, atol=1e-4)
 
 
+def test_pallas_lookup_matches_fused_interpret(rng):
+    """The Pallas kernel (interpret mode on CPU) matches the XLA path."""
+    from dbaf_tpu.ops.corr_pallas import lookup_pallas
+
+    E, H, W = 2, 8, 16
+    fm = jnp.asarray(rng.normal(size=(E, H, W, 32)).astype(np.float32))
+    vol = corr.build_volume_nhwc(fm, fm)
+    coords = jnp.asarray(
+        rng.uniform(-2, 18, size=(E, H, W, 2)).astype(np.float32)
+    )
+    ref = np.asarray(corr.lookup_fused(vol, coords))
+    out = np.asarray(lookup_pallas(vol, coords, tile=64, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""
     E, H, W = 1, 4, 4
