@@ -266,8 +266,9 @@ class Frontend:
 
         # keyframe cull decision (dbaf_frontend.py:317-353); the distance was
         # computed inside the update kernel to save a round trip
-        if self.graph.last_cull_dist is not None and not self.did_rollup:
-            d = float(self.graph.last_cull_dist)
+        pack = self.graph.host_pack
+        if pack is not None and not self.did_rollup:
+            d = float(pack[0])
         else:
             d = float(
                 self.video.distance([self.t1 - 3], [self.t1 - 2], beta=self.beta)[0]

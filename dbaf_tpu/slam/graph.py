@@ -87,7 +87,9 @@ class UpdateResult(NamedTuple):
     poses: jnp.ndarray
     disps: jnp.ndarray
     edge_conf: jnp.ndarray  # (E_CAP,) mean confidence per active edge
-    cull_dist: jnp.ndarray  # scalar: frame distance (t1-3, t1-2) after update
+    host_pack: jnp.ndarray  # [cull_dist, prox_dists...]: every per-keyframe
+    # scalar the host needs, packed so ONE device->host pull serves the cull
+    # decision and the next keyframe's proximity selection
 
 
 def make_update_kernel(
@@ -240,13 +242,42 @@ def make_update_kernel(
             )
             return poses, disps, net_new, target, weight
 
+        n_skip = len(cfg.graph.skip_edge) if cfg.graph.frontend_window == 5 else 0
+        wf = cfg.graph.frontend_window
+
+        def host_metrics(poses, disps):
+            """Pack every host-needed scalar: the cull flow distance
+            (dbaf_frontend.py:264) and the NEXT keyframe's proximity
+            candidate distances (covisible_graph.py:379), computed on the
+            end-state with the seeded pose/disparity for the incoming frame
+            -- one D2H pull serves both decisions."""
+            t_next = t1 + 1
+            B = poses.shape[0]
+            seed_slot = jnp.clip(t1, 0, B - 1)
+            poses_x = poses.at[seed_slot].set(poses[seed_slot - 1])
+            disps_x = disps.at[seed_slot].set(
+                jnp.mean(disps[seed_slot - 1])
+            )
+
+            ii_c = t_next - 5 + jnp.arange(5)
+            jj_c = t_next - wf + jnp.arange(wf)
+            pi = jnp.repeat(ii_c, wf)
+            pj_ = jnp.tile(jj_c, 5)
+            if n_skip:
+                skip = jnp.asarray(list(cfg.graph.skip_edge), jnp.int32)
+                pi = jnp.concatenate([pi, jnp.full((n_skip,), t_next - 1)])
+                pj_ = jnp.concatenate([pj_, t_next - 5 + skip])
+            cand_i = jnp.concatenate([jnp.asarray([t1 - 3]), pi])
+            cand_j = jnp.concatenate([jnp.asarray([t1 - 2]), pj_])
+            d = pj.frame_distance_bidirectional(
+                poses_x, disps_x, intrinsics,
+                jnp.clip(cand_i, 0, B - 1), jnp.clip(cand_j, 0, B - 1),
+                beta=cfg.graph.beta,
+            )
+            return d  # [cull, prox...]
+
         def cull_distance(poses, disps):
-            # keyframe-cull flow distance (dbaf_frontend.py:264), computed
-            # in-kernel to save a host round trip
-            return pj.frame_distance_bidirectional(
-                poses, disps, intrinsics,
-                jnp.asarray([0]) + (t1 - 3), jnp.asarray([0]) + (t1 - 2),
-            )[0]
+            return host_metrics(poses, disps)
 
         if not do_ba:
             out = one_round(0, (poses, disps, e_net, e_target, e_weight))
@@ -258,7 +289,7 @@ def make_update_kernel(
                     poses=poses,
                     disps=disps,
                     edge_conf=edge_conf,
-                    cull_dist=cull_distance(poses, disps),
+                    host_pack=cull_distance(poses, disps),
                 ),
                 (t_all, w_ba),
             )
@@ -272,7 +303,7 @@ def make_update_kernel(
             poses=poses,
             disps=disps,
             edge_conf=edge_conf,
-            cull_dist=cull_distance(poses, disps),
+            host_pack=cull_distance(poses, disps),
         )
 
     # donate: poses(0), disps(1), e_net(8), e_target(9), e_weight(10)
@@ -316,7 +347,9 @@ class CovisibleGraph:
 
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
-        self.last_cull_dist = None  # device scalar from the last update
+        self._host_pack_dev = None  # [cull_dist, prox...] from last update
+        self._host_pack_np = None
+        self._host_pack_t1 = -1
         self.aux = {}  # traced pytree forwarded to update_fn each call
         self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
         self.agg_fn = None  # GraphAgg head for the upsample path
@@ -614,8 +647,18 @@ class CovisibleGraph:
                 self.video.poses = res.poses
                 self.video.disps = res.disps
             self._conf_dev = res.edge_conf  # pulled lazily (host sync ~25 ms)
-            self.last_cull_dist = res.cull_dist  # device scalar, pulled lazily
+            self._host_pack_dev = res.host_pack  # pulled lazily, once
+            self._host_pack_np = None
+            self._host_pack_t1 = t1
         self.age += rounds
+
+    @property
+    def host_pack(self) -> Optional[np.ndarray]:
+        if self._host_pack_dev is None:
+            return None
+        if self._host_pack_np is None:
+            self._host_pack_np = np.asarray(self._host_pack_dev)
+        return self._host_pack_np
 
     # ------------------------------------------------------------------
     def run_upsample(self, agg_fn: Callable):
@@ -669,6 +712,24 @@ class CovisibleGraph:
         keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
+    def _candidate_distances(self, t0, t1, t, ii, jj, beta) -> np.ndarray:
+        """Distances for proximity candidates, preferring the values the
+        last update kernel precomputed on its end-state (one pull already
+        made for the cull decision) over a fresh device dispatch."""
+        pack = self.host_pack
+        wf = self.cfg.graph.frontend_window
+        n_skip = len(self.cfg.graph.skip_edge) if wf == 5 else 0
+        expected = 5 * wf + n_skip
+        if (
+            pack is not None
+            and self._host_pack_t1 + 1 == t
+            and t0 == t - 5
+            and t1 == t - wf
+            and len(ii) == expected
+        ):
+            return pack[1:1 + expected].astype(np.float64).copy()
+        return self.video.distance(ii, jj, beta=beta).astype(np.float64)
+
     def add_proximity_factors(
         self,
         t0: int = 0,
@@ -699,7 +760,7 @@ class CovisibleGraph:
             ii = np.concatenate([ii, ii_add])
             jj = np.concatenate([jj, jj_add])
 
-        d = self.video.distance(ii, jj, beta=beta).astype(np.float64)
+        d = self._candidate_distances(t0, t1, t, ii, jj, beta)
 
         # native path: the C++ scheduler runs the whole selection
         # (native/graphops.cpp)
