@@ -288,6 +288,7 @@ class Frontend:
             cam_t = np.linalg.norm(rel[:, :3], axis=1)
             cull = bool(np.any(cam_t < self.translation_threshold))
 
+        seeded = False
         if cull:
             self.graph.rm_keyframe(self.t1 - 2)
             if multisensor:
@@ -295,7 +296,11 @@ class Frontend:
                 self.coupled.state.merge_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
-            self.graph.update(None, None, use_inactive=True, rounds=self.iters2)
+            self.graph.update(
+                None, None, use_inactive=True, rounds=self.iters2,
+                seed_next=not multisensor,
+            )
+            seeded = not multisensor
 
         # VI / GNSS initialization triggers (dbaf_frontend.py:359-369)
         if multisensor and self.t1 > self.vi_warmup and \
@@ -310,8 +315,10 @@ class Frontend:
         if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
             self.graph.run_upsample(self.graph.agg_fn)
 
-        # seed next slot (dbaf_frontend.py:371-373)
-        self.video.seed_next(self.t1)
+        # seed next slot (dbaf_frontend.py:371-373); the in-kernel path
+        # already seeded on the non-cull visual update
+        if not seeded:
+            self.video.seed_next(self.t1)
 
     # ------------------------------------------------------------------
     def _try_init_vi(self, cur_t: float):

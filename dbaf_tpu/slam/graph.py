@@ -125,6 +125,7 @@ def make_update_kernel(
         rounds,
         # static
         iters: int, use_inactive: bool, do_ba: bool, use_sens: bool,
+        seed_next: bool,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -298,18 +299,26 @@ def make_update_kernel(
             0, rounds, one_round, (poses, disps, e_net, e_target, e_weight)
         )
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+        pack = cull_distance(poses, disps)
+        if seed_next:
+            # next-slot seeding (dbaf_frontend.py:371-373) folded in to save
+            # a dispatch; the host re-seeds explicitly on the cull path
+            poses = poses.at[t1].set(poses[t1 - 1])
+            disps = disps.at[t1].set(jnp.mean(disps[t1 - 1]))
         return UpdateResult(
             edges=EdgeArrays(e_net, e_target, e_weight),
             poses=poses,
             disps=disps,
             edge_conf=edge_conf,
-            host_pack=cull_distance(poses, disps),
+            host_pack=pack,
         )
 
     # donate: poses(0), disps(1), e_net(8), e_target(9), e_weight(10)
     return jax.jit(
         kernel,
-        static_argnames=("iters", "use_inactive", "do_ba", "use_sens"),
+        static_argnames=(
+            "iters", "use_inactive", "do_ba", "use_sens", "seed_next"
+        ),
         donate_argnums=(0, 1, 8, 9, 10),
     )
 
@@ -575,6 +584,7 @@ class CovisibleGraph:
         iters: int = 2,
         use_inactive: bool = False,
         rounds: int = 1,
+        seed_next: bool = False,
     ):
         """``rounds`` fused update rounds in one jit region
         (covisible_graph.py:213-342 per round)."""
@@ -615,6 +625,7 @@ class CovisibleGraph:
                 iters=iters, use_inactive=use_inactive,
                 do_ba=not coupled_mode,
                 use_sens=self.video.has_depth,
+                seed_next=seed_next and not coupled_mode,
             )
             if coupled_mode:
                 res, (t_all, w_ba) = out

@@ -9,6 +9,7 @@ non-keyframes cost exactly one encoder pass + one gate pass.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -50,6 +51,21 @@ def make_feat_gate(feat_fn: Callable, update_fn: Callable):
     return feat_gate
 
 
+def make_admit(ctx_fn: Callable):
+    """Fused keyframe admission: context encoding + feature-buffer writes in
+    ONE dispatch (dispatch latency dominates on remote TPU transports)."""
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+    def admit(img, fmap, fmaps, nets, inps, idx):
+        net, inp = ctx_fn(img)
+        fmaps = fmaps.at[idx].set(fmap.astype(fmaps.dtype))
+        nets = nets.at[idx].set(net[0].astype(nets.dtype))
+        inps = inps.at[idx].set(inp[0].astype(inps.dtype))
+        return fmaps, nets, inps, net[0], inp[0]
+
+    return admit
+
+
 class MotionFilter:
     def __init__(
         self,
@@ -67,6 +83,7 @@ class MotionFilter:
         self.feat = feat_fn
         self.ctx = ctx_fn
         self.feat_gate = make_feat_gate(feat_fn, update_fn)
+        self.admit = make_admit(ctx_fn)
         self.count = 0
         self._kf_fmap = None
         self._kf_net = None
@@ -85,13 +102,14 @@ class MotionFilter:
         image: (H, W, 3) BGR float/uint8 host array; image_right feeds the
         stereo feature buffer when the rig is stereo.
         """
-        img = jnp.asarray(image, dtype=jnp.float32)[None]
+        # upload uint8 (3x less transport traffic); the encoders normalize
+        img = jnp.asarray(np.asarray(image, dtype=np.uint8))[None]
 
         def right_fmap():
             if image_right is None:
                 return None
             return self.feat(
-                jnp.asarray(image_right, dtype=jnp.float32)[None]
+                jnp.asarray(np.asarray(image_right, dtype=np.uint8))[None]
             )[0]
 
         if self.video.counter == 0:
@@ -113,15 +131,33 @@ class MotionFilter:
         delta = float(delta_dev)
         if delta > self.thresh:
             self.count = 0
-            net, inp = self.ctx(img)
-            self._store(fmap, net[0], inp[0])
-            small = np.asarray(image[::8, ::8]).astype(np.uint8)
-            self.video.append(
-                tstamp, small, None, None,
-                None if depth is None else jnp.asarray(depth),
-                jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0,
-                fmap, net[0], inp[0], fmap_right=right_fmap(),
+            v = self.video
+            idx = v.counter
+            # fused admit: context encoder + buffer writes, one dispatch
+            v.fmaps, v.nets, v.inps, net0, inp0 = self.admit(
+                img, fmap, v.fmaps, v.nets, v.inps,
+                jnp.asarray(idx, jnp.int32),
             )
+            self._store(fmap, net0, inp0)
+            v.tstamp[idx] = tstamp
+            v.images_small[idx] = np.asarray(image[::8, ::8]).astype(np.uint8)
+            v.intrinsics = jnp.asarray(intrinsics, dtype=jnp.float32) / 8.0
+            if depth is not None:
+                d8 = jnp.asarray(depth)[3::8, 3::8]
+                from .video import _set_row
+
+                v.disps_sens = _set_row(
+                    v.disps_sens, idx, jnp.where(d8 > 0, 1.0 / d8, d8)
+                )
+                v.has_depth = True
+            fr = right_fmap()
+            if fr is not None and v.fmaps_right is not None:
+                from .video import _set_row
+
+                v.fmaps_right = _set_row(
+                    v.fmaps_right, idx, fr.astype(jnp.bfloat16)
+                )
+            v.counter += 1
             return True
         self.count += 1
         return False
