@@ -13,6 +13,7 @@ import bisect
 import math
 from typing import Callable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,13 @@ from ..utils.config import DBAFusionConfig
 from .graph import CovisibleGraph
 from .initialization import init_imu_states, init_gnss, visual_imu_alignment
 from .video import DepthVideo
+
+
+@jax.jit
+def _traj_row(poses, idx):
+    """Camera-to-world 7-vec for the trajectory stream (one async dispatch;
+    no host sync)."""
+    return lie.se3_inv(poses[idx])
 
 
 class Frontend:
@@ -180,10 +188,12 @@ class Frontend:
         self.cur_imu_ii += 1
 
     def _write_traj_row(self, t: float, T: Pose):
-        q = np.asarray(
-            lie.se3_from_matrix(jnp.asarray(T.matrix(), jnp.float32))
+        from scipy.spatial.transform import Rotation
+
+        q = Rotation.from_matrix(T.R).as_quat()
+        self.trajectory.append(
+            (t, np.concatenate([T.t, q]).astype(np.float32))
         )
-        self.trajectory.append((t, q))
 
     # ------------------------------------------------------------------
     def _update(self):
@@ -257,12 +267,15 @@ class Frontend:
             self.count -= roll
             self.did_rollup = True
 
-        # trajectory output
+        # trajectory output: keep the row on device (pulled in a batch at
+        # terminate) -- eager ops / per-keyframe pulls are expensive on
+        # remote transports
         if multisensor and self.video.imu_enabled:
             self._write_traj_row(cur_t, self.coupled.state.wTbs[self.t1 - 1])
         else:
-            Twc = np.asarray(lie.se3_inv(self.video.poses[self.t1 - 1]))
-            self.trajectory.append((cur_t, Twc))
+            self.trajectory.append(
+                (cur_t, _traj_row(self.video.poses, self.t1 - 1))
+            )
 
         # keyframe cull decision (dbaf_frontend.py:317-353); the distance was
         # computed inside the update kernel to save a round trip

@@ -230,8 +230,22 @@ class DBAFusion:
 
     def terminate(self):
         """Flush state; returns the keyframe trajectory as (N, 8) array
-        ``[t, x, y, z, qx, qy, qz, qw]`` (camera-to-world)."""
-        rows = [
-            np.concatenate([[t], p]) for t, p in self.frontend.trajectory
-        ]
-        return np.asarray(rows) if rows else np.zeros((0, 8))
+        ``[t, x, y, z, qx, qy, qz, qw]`` (camera-to-world).
+
+        Device-resident rows (the visual path defers pulls) are fetched in
+        one batched transfer here."""
+        import jax.numpy as jnp
+
+        traj = self.frontend.trajectory
+        if not traj:
+            return np.zeros((0, 8))
+        dev_idx = [k for k, (_, p) in enumerate(traj) if not isinstance(p, np.ndarray)]
+        pulled = {}
+        if dev_idx:
+            stacked = np.asarray(jnp.stack([traj[k][1] for k in dev_idx]))
+            pulled = {k: stacked[i] for i, k in enumerate(dev_idx)}
+        rows = []
+        for k, (t, p) in enumerate(traj):
+            arr = pulled.get(k, p)
+            rows.append(np.concatenate([[t], np.asarray(arr)]))
+        return np.asarray(rows)

@@ -47,6 +47,17 @@ def _copy_row(buf, dst, src):
     return buf.at[dst].set(buf[src])
 
 
+@functools.partial(jax.jit, donate_argnums=tuple(range(9)))
+def _copy_row_all(poses, disps, disps_sens, damping, fmaps, nets, inps,
+                  fmaps_right, disps_up, dst, src):
+    """Keyframe-removal slot shift across every buffer in one dispatch."""
+    out = []
+    for buf in (poses, disps, disps_sens, damping, fmaps, nets, inps,
+                fmaps_right, disps_up):
+        out.append(None if buf is None else buf.at[dst].set(buf[src]))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
 def _roll(buf, shift):
     return jnp.roll(buf, -shift, axis=0)
@@ -190,10 +201,15 @@ class DepthVideo:
 
     def rm_keyframe(self, ix: int):
         """Drop keyframe ``ix``, shifting slot ix+1 down (covisible_graph.py:180-195)."""
-        for name in self._SHIFT_BUFFERS:
-            buf = getattr(self, name)
-            if buf is not None:
-                setattr(self, name, _copy_row(buf, ix, ix + 1))
+        dst = jnp.asarray(ix, jnp.int32)
+        src = jnp.asarray(ix + 1, jnp.int32)
+        out = _copy_row_all(
+            self.poses, self.disps, self.disps_sens, self.damping,
+            self.fmaps, self.nets, self.inps, self.fmaps_right, self.disps_up,
+            dst, src,
+        )
+        (self.poses, self.disps, self.disps_sens, self.damping, self.fmaps,
+         self.nets, self.inps, self.fmaps_right, self.disps_up) = out
         self.tstamp[ix] = self.tstamp[ix + 1]
         self.images_small[ix] = self.images_small[ix + 1]
         self.counter -= 1
