@@ -253,6 +253,10 @@ class Frontend:
         if self.video.has_depth:
             self.video.seed_depth(self.t1 - 1)
 
+        if not multisensor:
+            self._update_visual_fused(cur_t, fc)
+            return
+
         self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
 
         # rollup (dbaf_frontend.py:253-257)
@@ -332,6 +336,35 @@ class Frontend:
         # already seeded on the non-cull visual update
         if not seeded:
             self.video.seed_next(self.t1)
+
+    # ------------------------------------------------------------------
+    def _update_visual_fused(self, cur_t: float, fc):
+        """Pure-visual keyframe step with the fused kernel: the rollup is
+        pure index bookkeeping so it moves ahead of the update (reference
+        interleaves it mid-keyframe, dbaf_frontend.py:253-257); everything
+        else -- iters1 rounds, cull decision, iters2 rounds, seeding --
+        happens in one device dispatch with a single host pull."""
+        self.did_rollup = False
+        if self.t1 > fc.rollup_start:
+            roll = fc.rollup_shift
+            self.video.rollup(roll)
+            self.graph.shift_indices(roll)
+            if self.coupled is not None and len(self.coupled.state) > 0:
+                self.coupled.rollup(roll)
+            self.t1 -= roll
+            self.count -= roll
+            self.did_rollup = True
+
+        culled, d, traj_row = self.graph.update_mega(self.iters1, self.iters2)
+        self.trajectory.append((cur_t, traj_row))
+
+        if culled:
+            self.graph.rm_keyframe(self.t1 - 2)
+            self.t1 -= 1
+            self.video.seed_next(self.t1)
+
+        if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
+            self.graph.run_upsample(self.graph.agg_fn)
 
     # ------------------------------------------------------------------
     def _try_init_vi(self, cur_t: float):

@@ -121,11 +121,14 @@ def make_update_kernel(
         t0, t1, s0, imu_enabled,
         # opaque pytree forwarded to update_fn (test oracles, extra context)
         aux,
-        # traced loop count (dynamic: one compiled kernel serves any count)
-        rounds,
+        # traced loop counts (dynamic: one compiled kernel serves any
+        # count); rounds_b > 0 enables the fused keyframe step: rounds_a
+        # update rounds -> in-kernel cull decision -> (not culled) rounds_b
+        # more rounds + next-slot seeding, all in ONE dispatch
+        rounds, rounds_b,
         # static
         iters: int, use_inactive: bool, do_ba: bool, use_sens: bool,
-        seed_next: bool,
+        seed_next: bool, mega: bool,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -295,9 +298,49 @@ def make_update_kernel(
                 (t_all, w_ba),
             )
 
-        poses, disps, e_net, e_target, e_weight = jax.lax.fori_loop(
+        state = jax.lax.fori_loop(
             0, rounds, one_round, (poses, disps, e_net, e_target, e_weight)
         )
+
+        if mega:
+            # fused keyframe step (dbaf_frontend.py:243-373 visual path):
+            # cull decision (:317-325) + conditional post-cull rounds
+            # (:355-357) + next-slot seed, one dispatch + one host pull
+            poses_m, disps_m = state[0], state[1]
+            d_cull = pj.frame_distance_bidirectional(
+                poses_m, disps_m, intrinsics,
+                jnp.asarray([0]) + (t1 - 3), jnp.asarray([0]) + (t1 - 2),
+                beta=cfg.graph.beta,
+            )[0]
+            traj_row = lie.se3_inv(poses_m[t1 - 1])
+            cull = d_cull < cfg.frontend.keyframe_thresh
+
+            def not_culled(st):
+                st = jax.lax.fori_loop(0, rounds_b, one_round, st)
+                p, d_ = st[0], st[1]
+                p = p.at[t1].set(p[t1 - 1])
+                d_ = d_.at[t1].set(jnp.mean(d_[t1 - 1]))
+                return (p, d_) + st[2:]
+
+            state = jax.lax.cond(cull, lambda st: st, not_culled, state)
+            poses, disps, e_net, e_target, e_weight = state
+            edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+            pack = jnp.concatenate(
+                [jnp.asarray([jnp.where(cull, 1.0, 0.0), d_cull]),
+                 host_metrics(poses, disps)[1:]]
+            )
+            return (
+                UpdateResult(
+                    edges=EdgeArrays(e_net, e_target, e_weight),
+                    poses=poses,
+                    disps=disps,
+                    edge_conf=edge_conf,
+                    host_pack=pack,
+                ),
+                traj_row,
+            )
+
+        poses, disps, e_net, e_target, e_weight = state
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
         pack = cull_distance(poses, disps)
         if seed_next:
@@ -317,7 +360,7 @@ def make_update_kernel(
     return jax.jit(
         kernel,
         static_argnames=(
-            "iters", "use_inactive", "do_ba", "use_sens", "seed_next"
+            "iters", "use_inactive", "do_ba", "use_sens", "seed_next", "mega"
         ),
         donate_argnums=(0, 1, 8, 9, 10),
     )
@@ -359,6 +402,7 @@ class CovisibleGraph:
         self._host_pack_dev = None  # [cull_dist, prox...] from last update
         self._host_pack_np = None
         self._host_pack_t1 = -1
+        self._prox_offset = 1
         self.aux = {}  # traced pytree forwarded to update_fn each call
         self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
         self.agg_fn = None  # GraphAgg head for the upsample path
@@ -622,10 +666,12 @@ class CovisibleGraph:
                 jnp.asarray(self.video.imu_enabled, dtype=bool),
                 self.aux,
                 jnp.asarray(1 if coupled_mode else rounds, jnp.int32),
+                jnp.asarray(0, jnp.int32),
                 iters=iters, use_inactive=use_inactive,
                 do_ba=not coupled_mode,
                 use_sens=self.video.has_depth,
                 seed_next=seed_next and not coupled_mode,
+                mega=False,
             )
             if coupled_mode:
                 res, (t_all, w_ba) = out
@@ -661,7 +707,62 @@ class CovisibleGraph:
             self._host_pack_dev = res.host_pack  # pulled lazily, once
             self._host_pack_np = None
             self._host_pack_t1 = t1
+            self._prox_offset = 1
         self.age += rounds
+
+    # ------------------------------------------------------------------
+    def update_mega(self, rounds_a: int, rounds_b: int, iters: int = 2):
+        """The fused visual keyframe step: rounds_a update rounds, in-kernel
+        cull decision, conditional rounds_b + seeding -- one dispatch, one
+        host pull.  Returns (culled, cull_distance, traj_row_device)."""
+        self._flush()
+        t0 = max(1, int(self.ii.min()) + 1)
+        t1 = int(max(self.ii.max(), self.jj.max())) + 1
+        P = self.cfg.ba.window
+        s0 = max(0, t1 - P)
+
+        e_mask = np.zeros(self.e_cap, dtype=bool)
+        e_mask[: self.n] = True
+        i_mask = np.zeros(self.i_cap, dtype=bool)
+        i_mask[: len(self.ii_inac)] = True
+
+        res, traj_row = self._kernel(
+            self.video.poses, self.video.disps, self.video.disps_sens,
+            self.video.damping,
+            self.video.intrinsics, self.video.fmaps, self.video.inps,
+            self.video.fmaps_right,
+            self.edges.net, self.edges.target, self.edges.weight,
+            self._padded(self.ii), self._padded(self.jj), jnp.asarray(e_mask),
+            self.t_inac, self.w_inac,
+            self._padded_inac(self.ii_inac), self._padded_inac(self.jj_inac),
+            jnp.asarray(i_mask),
+            jnp.asarray(t0, dtype=jnp.int32), jnp.asarray(t1, dtype=jnp.int32),
+            jnp.asarray(s0, dtype=jnp.int32),
+            jnp.asarray(self.video.imu_enabled, dtype=bool),
+            self.aux,
+            jnp.asarray(rounds_a, jnp.int32), jnp.asarray(rounds_b, jnp.int32),
+            iters=iters, use_inactive=True,
+            do_ba=True, use_sens=self.video.has_depth,
+            seed_next=False, mega=True,
+        )
+        self.edges = res.edges
+        self.video.poses = res.poses
+        self.video.disps = res.disps
+        self._conf_dev = res.edge_conf
+        self._host_pack_dev = res.host_pack
+        self._host_pack_np = None
+        self._prox_offset = 2
+
+        pack = self.host_pack  # ONE sync for cull flag + distances
+        culled = bool(pack[0] > 0.5)
+        if culled:
+            # prox entries were computed pre-shift; invalidate
+            self._host_pack_t1 = -(10**6)
+            self.age += rounds_a
+        else:
+            self._host_pack_t1 = t1
+            self.age += rounds_a + rounds_b
+        return culled, float(pack[1]), traj_row
 
     @property
     def host_pack(self) -> Optional[np.ndarray]:
@@ -731,6 +832,7 @@ class CovisibleGraph:
         wf = self.cfg.graph.frontend_window
         n_skip = len(self.cfg.graph.skip_edge) if wf == 5 else 0
         expected = 5 * wf + n_skip
+        off = getattr(self, "_prox_offset", 1)
         if (
             pack is not None
             and self._host_pack_t1 + 1 == t
@@ -738,7 +840,7 @@ class CovisibleGraph:
             and t1 == t - wf
             and len(ii) == expected
         ):
-            return pack[1:1 + expected].astype(np.float64).copy()
+            return pack[off:off + expected].astype(np.float64).copy()
         return self.video.distance(ii, jj, beta=beta).astype(np.float64)
 
     def add_proximity_factors(
