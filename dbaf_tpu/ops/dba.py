@@ -540,6 +540,74 @@ def coupled_retract(
     return poses_w, jnp.clip(disps_w, 0.001, None)
 
 
+@functools.partial(jax.jit, static_argnames=("P", "use_sens", "alpha"))
+def coupled_hessian_full(
+    poses_buf, disps_buf, damping_buf, intrinsics, targets, weights,
+    ii_w, jj_w, mask, s0, nactive, P: int, eps_damping: float = 1e-7,
+    disps_sens_buf=None, use_sens: bool = False, alpha: float = 0.001,
+):
+    """BACore::hessian against the FULL buffers (window sliced in-kernel):
+    one dispatch from the coupled driver."""
+    poses_w = jax.lax.dynamic_slice(poses_buf, (s0, 0), (P, 7))
+    disps_w = jax.lax.dynamic_slice(
+        disps_buf, (s0, 0, 0), (P,) + disps_buf.shape[1:]
+    )
+    damp_w = jax.lax.dynamic_slice(
+        damping_buf, (s0, 0, 0), (P,) + damping_buf.shape[1:]
+    )
+    eta = 0.2 * damp_w.reshape(P, -1) + eps_damping
+    sens_w = None
+    if use_sens and disps_sens_buf is not None:
+        sens_w = jax.lax.dynamic_slice(
+            disps_sens_buf, (s0, 0, 0), (P,) + disps_sens_buf.shape[1:]
+        )
+    return coupled_hessian(
+        poses_w, disps_w, intrinsics, targets, weights, eta, ii_w, jj_w,
+        mask, nactive, disps_sens=sens_w, use_sens=use_sens, alpha=alpha,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "with_hessian", "use_sens", "alpha")
+)
+def coupled_retract_full(
+    poses_buf, disps_buf, damping_buf, intrinsics, targets, weights,
+    ii_w, jj_w, mask, s0, nactive, dx, P: int,
+    eps_damping: float = 1e-7, with_hessian: bool = False,
+    disps_sens_buf=None, use_sens: bool = False, alpha: float = 0.001,
+):
+    """BACore::retract on the full buffers; optionally relinearizes the
+    retracted state and returns the next reduced camera system in the SAME
+    dispatch (the coupled loop alternates retract/hessian)."""
+    poses_w = jax.lax.dynamic_slice(poses_buf, (s0, 0), (P, 7))
+    disps_w = jax.lax.dynamic_slice(
+        disps_buf, (s0, 0, 0), (P,) + disps_buf.shape[1:]
+    )
+    damp_w = jax.lax.dynamic_slice(
+        damping_buf, (s0, 0, 0), (P,) + damping_buf.shape[1:]
+    )
+    eta = 0.2 * damp_w.reshape(P, -1) + eps_damping
+
+    poses_w, disps_w = coupled_retract(
+        poses_w, disps_w, intrinsics, targets, weights, eta, ii_w, jj_w,
+        mask, nactive, dx,
+    )
+    poses_buf = jax.lax.dynamic_update_slice(poses_buf, poses_w, (s0, 0))
+    disps_buf = jax.lax.dynamic_update_slice(disps_buf, disps_w, (s0, 0, 0))
+    if not with_hessian:
+        return poses_buf, disps_buf, None, None
+    sens_w = None
+    if use_sens and disps_sens_buf is not None:
+        sens_w = jax.lax.dynamic_slice(
+            disps_sens_buf, (s0, 0, 0), (P,) + disps_sens_buf.shape[1:]
+        )
+    S, v = coupled_hessian(
+        poses_w, disps_w, intrinsics, targets, weights, eta, ii_w, jj_w,
+        mask, nactive, disps_sens=sens_w, use_sens=use_sens, alpha=alpha,
+    )
+    return poses_buf, disps_buf, S, v
+
+
 class BAState(NamedTuple):
     poses: jnp.ndarray  # (P, 7)
     disps: jnp.ndarray  # (P, H, W)

@@ -128,37 +128,27 @@ class MultiSensorBA:
         self.marg_factor = graph.linearize_to_hessian(values)
 
     # ------------------------------------------------------------------
-    def _window(self, s0: int):
+    def _edge_args(self, ii, jj, e_cap: int, s0: int):
         P = self.cfg.ba.window
-        poses_w = jax.lax.dynamic_slice(self.video.poses, (s0, 0), (P, 7))
-        disps_w = jax.lax.dynamic_slice(
-            self.video.disps, (s0, 0, 0), (P, self.video.h8, self.video.w8)
-        )
-        damp_w = jax.lax.dynamic_slice(
-            self.video.damping, (s0, 0, 0), (P, self.video.h8, self.video.w8)
-        )
-        eta = 0.2 * damp_w.reshape(P, -1) + self.cfg.ba.eps_damping
-        return poses_w, disps_w, eta
+        n = len(ii)
+        ii_pad = np.zeros(e_cap, dtype=np.int32)
+        jj_pad = np.zeros(e_cap, dtype=np.int32)
+        ii_pad[:n] = np.clip(np.asarray(ii) - s0, 0, P - 1)
+        jj_pad[:n] = np.clip(np.asarray(jj) - s0, 0, P - 1)
+        mask = np.zeros(e_cap, dtype=bool)
+        mask[:n] = True
+        return jnp.asarray(ii_pad), jnp.asarray(jj_pad), jnp.asarray(mask)
 
     def _vis_hessian(self, ii, jj, target, weight, s0: int, t0: int, t1: int):
         """Device reduced camera system over window [t0, t1) at slot origin
         s0=t0; returns host f64 (H, v) of size (t1-t0)*6."""
         P = self.cfg.ba.window
-        n = len(ii)
-        e_cap = target.shape[0]
-        ii_w = np.clip(np.asarray(ii) - s0, 0, P - 1)
-        jj_w = np.clip(np.asarray(jj) - s0, 0, P - 1)
-        mask = np.zeros(e_cap, dtype=bool)
-        mask[:n] = True
-        ii_pad = np.zeros(e_cap, dtype=np.int32)
-        jj_pad = np.zeros(e_cap, dtype=np.int32)
-        ii_pad[:n] = ii_w
-        jj_pad[:n] = jj_w
-        poses_w, disps_w, eta = self._window(s0)
-        S, v = dba.coupled_hessian(
-            poses_w, disps_w, self.video.intrinsics, target, weight, eta,
-            jnp.asarray(ii_pad), jnp.asarray(jj_pad), jnp.asarray(mask),
-            jnp.asarray(t1 - s0, jnp.int32),
+        ii_d, jj_d, mask = self._edge_args(ii, jj, target.shape[0], s0)
+        S, v = dba.coupled_hessian_full(
+            self.video.poses, self.video.disps, self.video.damping,
+            self.video.intrinsics, target, weight, ii_d, jj_d, mask,
+            jnp.asarray(s0, jnp.int32), jnp.asarray(t1 - s0, jnp.int32),
+            P=P, eps_damping=self.cfg.ba.eps_damping,
         )
         m = (t1 - t0) * 6
         H = np.asarray(S, dtype=np.float64)[:m, :m]
@@ -315,12 +305,22 @@ class MultiSensorBA:
                 base.add(VelFactor(X(i), V(i), self.state.odo_vel[i], ODO_NOISE))
 
         P = self.cfg.ba.window
-        for _ in range(2):  # coupled iterations (depth_video.py:524-558)
-            H, v = self._vis_hessian(
-                self.cur_ii, self.cur_jj, self.cur_target, self.cur_weight,
-                t0, t0, t1,
-            )
-            Hg, vg = convert_hessian(H, v, self.Tbc)
+        n_iters = 2  # coupled iterations (depth_video.py:524-558)
+        ii_d, jj_d, mask = self._edge_args(
+            self.cur_ii, self.cur_jj, e_cap, t0
+        )
+        m = (t1 - t0) * 6
+        S, v = dba.coupled_hessian_full(
+            self.video.poses, self.video.disps, self.video.damping,
+            self.video.intrinsics, self.cur_target, self.cur_weight,
+            ii_d, jj_d, mask,
+            jnp.asarray(t0, jnp.int32), jnp.asarray(t1 - t0, jnp.int32),
+            P=P, eps_damping=self.cfg.ba.eps_damping,
+        )
+        for it in range(n_iters):
+            H = np.asarray(S, dtype=np.float64)[:m, :m]
+            vv = np.asarray(v, dtype=np.float64)[:m]
+            Hg, vg = convert_hessian(H, vv, self.Tbc)
             frames = list(range(t0, t1))
             initial = self._values_for(frames)
             graph = FactorGraph(base.factors + [
@@ -343,28 +343,20 @@ class MultiSensorBA:
                     self.state.bs[i] = result[B(i)]
             dx_cam = convert_dx(dx_body, self.Tbc)
 
-            # device retraction
-            n = len(self.cur_ii)
-            ii_pad = np.zeros(e_cap, dtype=np.int32)
-            jj_pad = np.zeros(e_cap, dtype=np.int32)
-            ii_pad[:n] = np.clip(self.cur_ii - t0, 0, P - 1)
-            jj_pad[:n] = np.clip(self.cur_jj - t0, 0, P - 1)
-            mask = np.zeros(e_cap, dtype=bool)
-            mask[:n] = True
+            # device retraction, fused with the next iteration's hessian
             dx_full = np.zeros((P, 6), dtype=np.float32)
             dx_full[: t1 - t0] = dx_cam.reshape(-1, 6)
-            poses_w, disps_w, eta = self._window(t0)
-            poses_w, disps_w = dba.coupled_retract(
-                poses_w, disps_w, self.video.intrinsics,
-                self.cur_target, self.cur_weight, eta,
-                jnp.asarray(ii_pad), jnp.asarray(jj_pad), jnp.asarray(mask),
-                jnp.asarray(t1 - t0, jnp.int32), jnp.asarray(dx_full),
-            )
-            self.video.poses = jax.lax.dynamic_update_slice(
-                self.video.poses, poses_w, (t0, 0)
-            )
-            self.video.disps = jax.lax.dynamic_update_slice(
-                self.video.disps, disps_w, (t0, 0, 0)
+            self.video.poses, self.video.disps, S, v = (
+                dba.coupled_retract_full(
+                    self.video.poses, self.video.disps, self.video.damping,
+                    self.video.intrinsics, self.cur_target, self.cur_weight,
+                    ii_d, jj_d, mask,
+                    jnp.asarray(t0, jnp.int32),
+                    jnp.asarray(t1 - t0, jnp.int32),
+                    jnp.asarray(dx_full), P=P,
+                    eps_damping=self.cfg.ba.eps_damping,
+                    with_hessian=(it + 1 < n_iters),
+                )
             )
 
     # ------------------------------------------------------------------
