@@ -298,31 +298,51 @@ def make_update_kernel(
                 (t_all, w_ba),
             )
 
-        state = jax.lax.fori_loop(
-            0, rounds, one_round, (poses, disps, e_net, e_target, e_weight)
-        )
-
-        if mega:
-            # fused keyframe step (dbaf_frontend.py:243-373 visual path):
-            # cull decision (:317-325) + conditional post-cull rounds
-            # (:355-357) + next-slot seed, one dispatch + one host pull
-            poses_m, disps_m = state[0], state[1]
-            d_cull = pj.frame_distance_bidirectional(
-                poses_m, disps_m, intrinsics,
+        def cull_metric(st):
+            """Keyframe-cull flow distance (dbaf_frontend.py:264)."""
+            return pj.frame_distance_bidirectional(
+                st[0], st[1], intrinsics,
                 jnp.asarray([0]) + (t1 - 3), jnp.asarray([0]) + (t1 - 2),
                 beta=cfg.graph.beta,
             )[0]
-            traj_row = lie.se3_inv(poses_m[t1 - 1])
+
+        init = (poses, disps, e_net, e_target, e_weight)
+        if not mega:
+            state = jax.lax.fori_loop(0, rounds, one_round, init)
+        else:
+            # fused keyframe step (dbaf_frontend.py:243-373 visual path):
+            # ONE fori over rounds + rounds_b with a mid-loop cull gate --
+            # one_round traces once, so this compiles no larger than the
+            # plain variant.  Rounds past ``rounds`` run only when the cull
+            # metric (evaluated after round rounds-1) keeps the keyframe.
+            def gated_body(i, carry):
+                st, d_c, traj = carry
+                run = (i < rounds) | (d_c >= cfg.frontend.keyframe_thresh)
+                st = jax.lax.cond(
+                    run, lambda s: one_round(i, s), lambda s: s, st
+                )
+                d_c, traj = jax.lax.cond(
+                    i == rounds - 1,
+                    lambda s: (cull_metric(s), lie.se3_inv(s[0][t1 - 1])),
+                    lambda s: (d_c, traj),
+                    st,
+                )
+                return st, d_c, traj
+
+            state, d_cull, traj_row = jax.lax.fori_loop(
+                0, rounds + rounds_b, gated_body,
+                (init, jnp.asarray(jnp.inf, jnp.float32),
+                 jnp.zeros((7,), jnp.float32)),
+            )
             cull = d_cull < cfg.frontend.keyframe_thresh
 
-            def not_culled(st):
-                st = jax.lax.fori_loop(0, rounds_b, one_round, st)
+            def seed(st):
                 p, d_ = st[0], st[1]
                 p = p.at[t1].set(p[t1 - 1])
                 d_ = d_.at[t1].set(jnp.mean(d_[t1 - 1]))
                 return (p, d_) + st[2:]
 
-            state = jax.lax.cond(cull, lambda st: st, not_culled, state)
+            state = jax.lax.cond(cull, lambda st: st, seed, state)
             poses, disps, e_net, e_target, e_weight = state
             edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
             pack = jnp.concatenate(
