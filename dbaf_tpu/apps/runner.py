@@ -5,8 +5,6 @@ from __future__ import annotations
 import json
 from typing import Iterable, Optional
 
-import numpy as np
-
 from ..eval.ate import evaluate_trajectory
 from ..eval.traj_io import write_tum
 from ..slam.system import DBAFusion

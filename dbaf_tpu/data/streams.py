@@ -9,7 +9,6 @@ resize to multiples of 8, optional CLAHE contrast enhancement
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Iterator, Optional, Tuple
 
 import numpy as np

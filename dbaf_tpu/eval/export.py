@@ -9,7 +9,7 @@ multi-view depth-consistency filter, disparity floor mask, pickle as
 from __future__ import annotations
 
 import pickle
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ datasets or checkpoints.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -6,7 +6,7 @@ The reference streams this format per keyframe (dbaf_frontend.py:179-186,
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ pure-python form at /root/reference/dbaf/depth_video.py:20-29):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -14,8 +14,7 @@ Conventions: Pose tangents are [omega, v] with right perturbation
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

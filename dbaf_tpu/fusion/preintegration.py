@@ -18,12 +18,12 @@ the arrays are tiny; the heavy visual system stays on the TPU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .se3np import Pose, hat, so3_exp, so3_log, so3_right_jacobian
+from .se3np import Pose, hat, so3_exp, so3_right_jacobian
 
 GRAVITY = 9.807  # multi_sensor.py:5
 

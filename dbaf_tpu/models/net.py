@@ -23,7 +23,7 @@ fp16 autocast, motion_filter.py:32) with f32 parameters.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

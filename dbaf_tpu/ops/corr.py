@@ -27,8 +27,7 @@ DROID weights consume it unchanged.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

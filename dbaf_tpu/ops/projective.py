@@ -14,7 +14,7 @@ one-CUDA-block-per-edge layout.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 

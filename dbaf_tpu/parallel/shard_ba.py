@@ -18,7 +18,6 @@ the communication pattern explicit and testable.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..ops import dba, lie
+from ..ops import dba
 
 
 def make_sharded_ba_iteration(mesh: Mesh, P_win: int, axis: str = "edge"):

@@ -10,8 +10,7 @@ output).
 from __future__ import annotations
 
 import bisect
-import math
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,6 @@ import numpy as np
 
 from ..fusion.se3np import Pose
 from ..ops import lie
-from ..utils import geodesy
 from ..utils.config import DBAFusionConfig
 from .graph import CovisibleGraph
 from .initialization import init_imu_states, init_gnss, visual_imu_alignment

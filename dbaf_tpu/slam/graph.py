@@ -21,7 +21,7 @@ a device-computed distance matrix, mirroring the reference's CPU loops
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,13 @@ georeferencing once the baseline exceeds 10 m.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..fusion.factors import B, CombinedImuFactor, V, X
 from ..fusion.graph import Values
-from ..fusion.preintegration import PreintegratedImu
 from ..fusion.se3np import Pose
 from ..ops import lie
 from ..utils import geodesy
@@ -75,7 +74,6 @@ def init_imu_states(
     [t, x, y, z].
     """
     import bisect
-    import math
 
     video = frontend.video
     coupled: MultiSensorBA = frontend.graph.coupled

@@ -18,13 +18,13 @@ design:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import lie, projective as pj
+from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
 
 

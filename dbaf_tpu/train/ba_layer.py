@@ -11,10 +11,9 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
-from ..ops import dba, lie
+from ..ops import dba
 
 
 def ba_step(

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import pickle
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

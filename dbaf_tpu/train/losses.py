@@ -7,7 +7,7 @@ JAX port of the reference's training objectives
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 
