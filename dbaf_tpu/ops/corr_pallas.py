@@ -69,11 +69,6 @@ def _lookup_kernel(vol_ref, coords_ref, out_ref, *, radius, num_levels):
     out_ref[0] = full[:, :LR, :LR]
 
 
-# NOTE: a block-diagonal variant (grouping 4 pixels into one M=128 matmul to
-# fill the systolic array) was prototyped but crashes the current Mosaic
-# toolchain (remote tpu_compile_helper exit 1 on the 5-D select / in-kernel
-# transpose); revisit when the toolchain moves.
-
 
 @functools.partial(
     jax.jit, static_argnames=("radius", "num_levels", "tile", "interpret")
@@ -86,6 +81,10 @@ def lookup_pallas(
     tile: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Per-pixel batched lookup (channels-first output, reference order).
+
+    Superseded by :func:`lookup_blk_pallas` in the hot path; kept as the
+    simpler oracle variant."""
     E, P_in, H2, W2 = volume.shape
     _, H, W, _ = coords.shape
     R = 2 * radius + 1
@@ -131,3 +130,186 @@ def lookup_pallas(
     ]
     out = jnp.concatenate(outs, axis=-1)
     return out.transpose(0, 2, 1).reshape(E, num_levels * R * R, H, W)
+
+
+# Block-diagonal lookup: packs ``group`` pixels per MXU call so M=128 and
+# the K dimension is filled (group*H2 = 192 vs 48), which amortizes the
+# per-matmul weight-load stalls that bound the per-pixel variant.  Only
+# Mosaic-safe ops are used (probed on this toolchain): batch-dim splits,
+# sublane concats, iota-formula-built masks, batched dot_general.  The
+# earlier 5-D select / lane-split variants crash the compiler.
+
+
+def _tri_ext(val_m, size, radius, num_levels, group, dtype):
+    """Block-diagonal effective kernels, built directly from iotas.
+
+    val_m: (G, M=group*32) fractional lookup centers, row m = pixel
+    ``g*group + m//32``, kernel row ``i = m%32`` packing (level, offset)
+    level-major.  Returns (G, M, group*size): row m holds the level-(i//R)
+    pooled-bilinear kernel of its pixel, placed in column block m//32 --
+    the r==s mask makes the operand block-diagonal without any reshapes.
+    """
+    G, M = val_m.shape
+    R = 2 * radius + 1
+    K = group * size
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, K), 1)
+    i = rows % 32
+    lvl = jnp.minimum(i // R, num_levels - 1)
+    inv = jnp.exp2(-lvl.astype(jnp.float32))  # 1 / 2^level
+    off = (i % R - radius).astype(jnp.float32)
+    h = (cols % size).astype(jnp.float32)
+    base = jnp.floor(h * inv) - off  # grid - offset, (M, K)
+    blockdiag = ((cols // size) == (rows // 32) % group) & (i < num_levels * R)
+    scale = jnp.where(blockdiag, inv, 0.0)
+    v = jnp.maximum(
+        0.0, 1.0 - jnp.abs(base[None] - val_m[:, :, None] * inv[None])
+    )
+    return (v * scale[None]).astype(dtype)
+
+
+def _row_mask(M, r, dtype):
+    """(M, 1) mask selecting rows of pixel-slot r (m//32 == r)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    return (rows // 32 == r).astype(dtype)
+
+
+def _lookup_blk_kernel(
+    vol_ref, xm_ref, ym_ref, out_ref, *, radius, num_levels, H2, W2, group
+):
+    """One pixel tile: blockdiag stage-1 over y, per-slot stage-2 over x.
+
+    vol_ref: (1, TP, H2, W2); xm/ym_ref: (1, G, M) pre-broadcast coords;
+    out_ref: (1, G, M, 32) -- flat-compatible with (TP, 32, 32) pixel-major.
+    """
+    dt = jnp.bfloat16
+    vol = vol_ref[0]
+    TP = vol.shape[0]
+    G = TP // group
+    M = group * 32
+
+    volr = vol.reshape(G, group, H2, W2)
+    vol_blk = jnp.concatenate(
+        [volr[:, s] for s in range(group)], axis=1
+    )  # (G, group*H2, W2)
+
+    ky = _tri_ext(ym_ref[0], H2, radius, num_levels, group, dt)
+    tmp = jax.lax.dot_general(
+        ky, vol_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, M, W2): row m = (pixel slot r=m//32, y-kernel row i=m%32)
+
+    # stage 2: contract W2 against the x kernels; kx row m only pairs with
+    # tmp rows of ITS pixel slot, so accumulate per-slot masked matmuls
+    # (rows of foreign slots are zeroed, so the sum compacts the diagonal)
+    kx_full = _tri_ext(xm_ref[0], W2, radius, num_levels, 1, dt)  # (G,M,W2)
+    tmpb = tmp.astype(dt)
+    acc = None
+    for r in range(group):
+        kx_r = kx_full * _row_mask(M, r, dt)[None]
+        tmp_r = tmpb[:, 32 * r : 32 * (r + 1), :]  # (G, 32, W2)
+        part = jax.lax.dot_general(
+            kx_r, tmp_r, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, M, 32)
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def lookup_blk_pallas(
+    volume: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-scale lookup, blockdiag-packed, **channels-last** output.
+
+    volume: (E, P, H2, W2); coords: (E, H, W, 2) level-0 scale.
+    Returns (E, H, W, L*(2r+1)^2) in the reference channel order
+    (level-major, x-offset-major, correlation_kernels.cu:47-66) -- the
+    layout the GRU consumes, so no NHWC transpose afterwards.
+    """
+    E, P_in, H2, W2 = volume.shape
+    _, H, W, _ = coords.shape
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    flat = coords.reshape(E, P_in, 2)
+    # pre-broadcast coords onto blockdiag rows: m = r*32 + i -> pixel
+    # group*g + r (XLA-side; free next to the volume matmul)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    xm = jnp.repeat(cm[..., 0], 32, axis=-1)  # (E, P/group, M)
+    ym = jnp.repeat(cm[..., 1], 32, axis=-1)
+
+    full = pl.pallas_call(
+        functools.partial(
+            _lookup_blk_kernel, radius=radius, num_levels=num_levels,
+            H2=H2, W2=W2, group=group,
+        ),
+        grid=(E, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, H2, W2), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile // group, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile // group, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile // group, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        interpret=interpret,
+    )(volume, xm, ym)
+
+    # (E, P/g, M=g*32, 32) is pixel-major flat -> (E, P, 32, 32)
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R].reshape(
+            E, P_in, R * R
+        )
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_pallas(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Correlation volume build (XLA matmul) + blockdiag Pallas lookup,
+    channels-last.  Called once per update round; the volume matmul is
+    cheap (~150 GFLOP on the MXU) next to the lookup."""
+    from .corr import build_volume_nhwc
+
+    vol = build_volume_nhwc(
+        fmap1.astype(jnp.bfloat16), fmap2.astype(jnp.bfloat16)
+    )
+    return lookup_blk_pallas(
+        vol, coords, radius, num_levels, tile=tile, group=group,
+        interpret=interpret,
+    )

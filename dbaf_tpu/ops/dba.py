@@ -385,6 +385,25 @@ class PairwiseSystem(NamedTuple):
     b: jnp.ndarray
 
 
+def _placement_matrix(li: jnp.ndarray, lj: jnp.ndarray, P: int) -> jnp.ndarray:
+    """(P*6, E*12) one-hot placement: column e*12+k maps to pose row
+    ``role_{k//6}(e)*6 + k%6`` (role 0 = li, role 1 = lj; -1 roles drop).
+
+    Scatter-free assembly: every segment-sum of per-edge pose blocks becomes
+    a dense matmul with this matrix -- the MXU-native replacement for both
+    the reference's CPU triplet lists (droid_kernels.cu:1176-1201) and XLA
+    scatter-adds (which serialize on TPU).
+    """
+    E = li.shape[0]
+    k = jnp.arange(12)
+    role = jnp.where(k[None, :] < 6, li[:, None], lj[:, None])  # (E, 12)
+    role = role.reshape(E * 12)
+    kk = jnp.tile(k % 6, E)
+    row = jnp.arange(P * 6)
+    M = (role[None, :] == (row[:, None] // 6)) & (kk[None, :] == (row[:, None] % 6))
+    return M.astype(jnp.float32)
+
+
 def assemble_pairwise(
     sys_e: EdgeSystem,
     ii: jnp.ndarray,
@@ -397,17 +416,25 @@ def assemble_pairwise(
     disps_sens: Optional[jnp.ndarray] = None,
     alpha: float = 0.05,
 ) -> PairwiseSystem:
-    """Assemble A, b, C, w and the Schur complement via the pairwise path."""
+    """Assemble A, b, C, w and the Schur complement, scatter-free.
+
+    The per-edge 12x12 blocks and the pairwise Schur couplings T are
+    sandwiched onto the (P*6, P*6) pose system with ONE placement matrix:
+    ``S = M (Hbd - T*pair) M^T`` -- two dense matmuls instead of thousands
+    of serialized scatter updates.
+    """
     E = ii.shape[0]
     D = sys_e.C.shape[-1]
 
     li, lj = _edge_pose_indices(ii, jj, nfixed, nactive)
-    A, b = _accumulate_pose_system(sys_e, li, lj, P)
+    M = _placement_matrix(li, lj, P)  # (P6, E12)
 
     slot = jnp.arange(P)
     depth_active = slot < nactive
     ki = jnp.clip(ii, 0, P - 1)
-    C, w = _accumulate_depth_diag(sys_e, ki, P)
+    Ok = (slot[:, None] == ki[None, :]).astype(jnp.float32)  # (P, E)
+    C = jnp.matmul(Ok, sys_e.C, precision=HIGH)
+    w = jnp.matmul(Ok, sys_e.w, precision=HIGH)
     C, w = _finish_depth_diag(C, w, eta, depth_active, disps, disps_sens, alpha)
     Q = 1.0 / C
 
@@ -423,32 +450,30 @@ def assemble_pairwise(
         ExyQ.reshape(E * 12, D), Exy.reshape(E * 12, D).T, precision=HIGH
     ).reshape(E, 12, E, 12)
     pair = (ii[:, None] == ii[None, :]).astype(T.dtype)
-    T = T * pair[:, None, :, None]
+    T = (T * pair[:, None, :, None]).reshape(E * 12, E * 12)
 
-    # scatter the four 6x6 quadrants onto (pose_row, pose_col)
-    roles = (li, lj)
-    EQEt = jnp.zeros((P, P, 6, 6), dtype=T.dtype)
-    for a in range(2):
-        for c in range(2):
-            blk = T[:, 6 * a : 6 * a + 6, :, 6 * c : 6 * c + 6]
-            blk = blk.transpose(0, 2, 1, 3).reshape(E * E, 6, 6)
-            rows = jnp.broadcast_to(roles[a][:, None], (E, E)).reshape(-1)
-            cols = jnp.broadcast_to(roles[c][None, :], (E, E)).reshape(-1)
-            EQEt = EQEt + _segment_matrix(blk, rows, cols, P)
+    # block-diagonal per-edge pose Hessian (E*12, E*12)
+    Hbd = (
+        sys_e.H[:, :, None, :] * jnp.eye(E, dtype=sys_e.H.dtype)[:, None, :, None]
+    ).reshape(E * 12, E * 12)
 
-    # v_r = b - E Q w
+    inner = Hbd - T
+    S = jnp.matmul(
+        jnp.matmul(M, inner, precision=HIGH), M.T, precision=HIGH
+    )
+    A = jnp.matmul(
+        jnp.matmul(M, Hbd, precision=HIGH), M.T, precision=HIGH
+    )
+
+    b = jnp.matmul(M, sys_e.v.reshape(E * 12), precision=HIGH)
     Qw = Q * w
     Ev = jnp.einsum("ecd,ed->ec", Exy, Qw[ki], precision=HIGH)  # (E, 12)
-    EQw = _segment_vector(Ev[:, :6], li, P) + _segment_vector(Ev[:, 6:], lj, P)
+    EQw = jnp.matmul(M, Ev.reshape(E * 12), precision=HIGH)
 
-    A = A.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
-    EQEt = EQEt.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
     pose_active = (slot >= nfixed) & (slot < nactive)
     pa6 = jnp.repeat(pose_active, 6)
-    A = jnp.where(pa6[:, None] & pa6[None, :], A, 0.0)
-    S = A - EQEt
-    v_r = jnp.where(pa6, (b - EQw).reshape(P * 6), 0.0)
-    b_flat = jnp.where(pa6, b.reshape(P * 6), 0.0)
+    v_r = jnp.where(pa6, b - EQw, 0.0)
+    b_flat = jnp.where(pa6, b, 0.0)
 
     return PairwiseSystem(
         S=S, v=v_r, C=C, w=w, pose_active=pose_active, A=A, b=b_flat
@@ -480,7 +505,8 @@ def back_substitute_pairwise(
         "ecd,ec->ed", sys_e.Ej, dxj, precision=HIGH
     )
     ki = jnp.clip(ii, 0, P - 1)
-    acc = jax.ops.segment_sum(dw, ki, num_segments=P)
+    Ok = (jnp.arange(P)[:, None] == ki[None, :]).astype(jnp.float32)
+    acc = jnp.matmul(Ok, dw, precision=HIGH)
     return (1.0 / ps.C) * (ps.w - acc)
 
 

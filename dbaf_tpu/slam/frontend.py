@@ -77,6 +77,9 @@ class Frontend:
         # trajectory log: (tstamp, Twb or Twc 7-vec [x y z qx qy qz qw])
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.did_rollup = False
+        # deferred mega step: t1 at dispatch time, or None.  The packed
+        # scalars ride the next frame's motion-gate pull (one RTT/keyframe).
+        self._pending_t1: Optional[int] = None
 
     # ------------------------------------------------------------------
     def set_multisensor(self, all_imu, all_gnss=None, all_odo=None,
@@ -98,7 +101,33 @@ class Frontend:
         if not self.is_initialized and self.video.counter == self.warmup:
             self._initialize()
         elif self.is_initialized and self.t1 < self.video.counter:
+            self._resolve_pending()  # no-op when the filter already did it
             self._update()
+
+    # ------------------------------------------------------------------
+    @property
+    def pending_pack(self):
+        """Device array of deferred mega scalars (or None)."""
+        if self._pending_t1 is None:
+            return None
+        return self.graph._host_pack_dev
+
+    def resolve_pending(self, pack: np.ndarray):
+        """Finish a deferred visual mega step: cull bookkeeping that the
+        device already anticipated (gated rounds + in-kernel seeding)."""
+        if self._pending_t1 is None:
+            return
+        t1 = self._pending_t1
+        self._pending_t1 = None
+        culled, _ = self.graph.finish_mega(pack)
+        if culled:
+            self.graph.rm_keyframe(t1 - 2)
+            self.t1 = t1 - 1
+            self.video.seed_next(self.t1)
+
+    def _resolve_pending(self):
+        if self._pending_t1 is not None:
+            self.resolve_pending(self.graph.host_pack)
 
     # ------------------------------------------------------------------
     def _initialize(self):
@@ -353,15 +382,18 @@ class Frontend:
             self.count -= roll
             self.did_rollup = True
 
-        culled, d, traj_row = self.graph.update_mega(self.iters1, self.iters2)
+        traj_row = self.graph.update_mega(
+            self.iters1, self.iters2, defer=True
+        )
         self.trajectory.append((cur_t, traj_row))
-
-        if culled:
-            self.graph.rm_keyframe(self.t1 - 2)
-            self.t1 -= 1
-            self.video.seed_next(self.t1)
+        # cull bookkeeping resolves with the next frame's motion-gate pull
+        # (resolve_pending); the device state already anticipated both
+        # outcomes inside the kernel
+        self._pending_t1 = self.t1
 
         if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
+            # the upsample head needs resolved edge state
+            self._resolve_pending()
             self.graph.run_upsample(self.graph.agg_fn)
 
     # ------------------------------------------------------------------

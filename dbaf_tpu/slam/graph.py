@@ -135,12 +135,18 @@ def make_update_kernel(
         # correlation volume: built ONCE per keyframe step (features are
         # fixed across rounds), one MXU matmul.  Stereo (ii==jj) edges
         # correlate against the right-camera features
-        # (covisible_graph.py:128-130)
+        # (covisible_graph.py:128-130).  On TPU the lookup runs the
+        # blockdiag Pallas kernel with channels-last output (no NHWC
+        # transpose); elsewhere the XLA separable-matmul path.
+        f1 = fmaps_buf[ii]
         f2 = fmaps_buf[jj]
         if fmaps_right_buf is not None:
             stereo_e = (ii == jj)[:, None, None, None]
             f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
-        vol = corr_ops.build_volume_nhwc(fmaps_buf[ii], f2)
+        vol = corr_ops.build_volume_nhwc(f1, f2)
+        blk_corr = jax.default_backend() == "tpu"
+        if blk_corr:
+            from ..ops.corr_pallas import lookup_blk_pallas
         inp_e = inps_buf[ii]
 
         def one_round(_, carry):
@@ -155,9 +161,12 @@ def make_update_kernel(
             ).clip(-64.0, 64.0)
 
             # ---- multi-scale correlation lookup, fused over levels
-            # (Pallas kernel on TPU)
-            corr = corr_ops.lookup_auto(vol, coords1, radius)
-            corr = corr.transpose(0, 2, 3, 1)
+            # (blockdiag Pallas kernel on TPU, channels-last output)
+            if blk_corr:
+                corr = lookup_blk_pallas(vol, coords1, radius)
+            else:
+                corr = corr_ops.lookup_auto(vol, coords1, radius)
+                corr = corr.transpose(0, 2, 3, 1)
 
             # ---- GRU update
             aux_full = dict(aux)
@@ -423,6 +432,7 @@ class CovisibleGraph:
         self._host_pack_np = None
         self._host_pack_t1 = -1
         self._prox_offset = 1
+        self._pending_mega = None
         self.aux = {}  # traced pytree forwarded to update_fn each call
         self.coupled = None  # MultiSensorBA when multi-sensor fusion is on
         self.agg_fn = None  # GraphAgg head for the upsample path
@@ -731,10 +741,19 @@ class CovisibleGraph:
         self.age += rounds
 
     # ------------------------------------------------------------------
-    def update_mega(self, rounds_a: int, rounds_b: int, iters: int = 2):
+    def update_mega(
+        self, rounds_a: int, rounds_b: int, iters: int = 2,
+        defer: bool = False,
+    ):
         """The fused visual keyframe step: rounds_a update rounds, in-kernel
         cull decision, conditional rounds_b + seeding -- one dispatch, one
-        host pull.  Returns (culled, cull_distance, traj_row_device)."""
+        host pull.  Returns (culled, cull_distance, traj_row_device).
+
+        With ``defer=True`` the host pull is skipped entirely: the packed
+        scalars stay on device (``self._host_pack_dev``) and the caller
+        finishes the step later via :meth:`finish_mega` -- the next frame's
+        motion-gate kernel carries the pack along so ONE pull serves both
+        decisions.  Returns only the trajectory row."""
         self._flush()
         t0 = max(1, int(self.ii.min()) + 1)
         t1 = int(max(self.ii.max(), self.jj.max())) + 1
@@ -772,9 +791,21 @@ class CovisibleGraph:
         self._host_pack_dev = res.host_pack
         self._host_pack_np = None
         self._prox_offset = 2
+        self._pending_mega = (rounds_a, rounds_b, t1)
 
-        pack = self.host_pack  # ONE sync for cull flag + distances
-        culled = bool(pack[0] > 0.5)
+        if defer:
+            return traj_row
+
+        culled, _ = self.finish_mega(self.host_pack)  # ONE sync
+        return culled, float(self._host_pack_np[1]), traj_row
+
+    def finish_mega(self, pack: np.ndarray):
+        """Apply the host-side bookkeeping of a (possibly deferred) mega
+        step once its packed scalars are on host.  Returns (culled, t1)."""
+        rounds_a, rounds_b, t1 = self._pending_mega
+        self._pending_mega = None
+        self._host_pack_np = np.asarray(pack)
+        culled = bool(self._host_pack_np[0] > 0.5)
         if culled:
             # prox entries were computed pre-shift; invalidate
             self._host_pack_t1 = -(10**6)
@@ -782,7 +813,7 @@ class CovisibleGraph:
         else:
             self._host_pack_t1 = t1
             self.age += rounds_a + rounds_b
-        return culled, float(pack[1]), traj_row
+        return culled, t1
 
     @property
     def host_pack(self) -> Optional[np.ndarray]:

@@ -23,15 +23,19 @@ from .video import DepthVideo
 
 
 def make_feat_gate(feat_fn: Callable, update_fn: Callable):
-    """Build the fused per-frame jit: feature extraction + flow-magnitude
+    """Build the fused per-frame jits: feature extraction + flow-magnitude
     gate in ONE dispatch (one host round trip per non-keyframe).
 
     update_fn has the graph-kernel signature
     (net, inp, corr, motn, ii, jj, aux) -> (net, delta, weight).
+
+    Returns (feat_gate, feat_gate_pack); the ``_pack`` variant threads a
+    deferred scalar pack from the previous keyframe's update kernel through
+    its output so ONE host pull serves both the gate decision and the
+    deferred cull/proximity bookkeeping.
     """
 
-    @jax.jit
-    def feat_gate(image, fmap_kf, net_kf, inp_kf):
+    def body(image, fmap_kf, net_kf, inp_kf):
         fmap_cur = feat_fn(image)[0]
         H, W = fmap_kf.shape[0], fmap_kf.shape[1]
         vol = corr_ops.build_volume_nhwc(
@@ -48,7 +52,16 @@ def make_feat_gate(feat_fn: Callable, update_fn: Callable):
         )
         return fmap_cur, jnp.mean(jnp.linalg.norm(delta[0], axis=-1))
 
-    return feat_gate
+    @jax.jit
+    def feat_gate(image, fmap_kf, net_kf, inp_kf):
+        return body(image, fmap_kf, net_kf, inp_kf)
+
+    @jax.jit
+    def feat_gate_pack(image, fmap_kf, net_kf, inp_kf, pack):
+        fmap_cur, delta = body(image, fmap_kf, net_kf, inp_kf)
+        return fmap_cur, jnp.concatenate([delta[None], pack])
+
+    return feat_gate, feat_gate_pack
 
 
 def make_admit(ctx_fn: Callable):
@@ -82,8 +95,10 @@ class MotionFilter:
         self.thresh = cfg.frontend.filter_thresh
         self.feat = feat_fn
         self.ctx = ctx_fn
-        self.feat_gate = make_feat_gate(feat_fn, update_fn)
+        self.feat_gate, self.feat_gate_pack = make_feat_gate(feat_fn, update_fn)
         self.admit = make_admit(ctx_fn)
+        self.frontend = None  # wired by the system facade: lets the gate
+        # pull carry the previous keyframe's deferred update-kernel scalars
         self.count = 0
         self._kf_fmap = None
         self._kf_net = None
@@ -125,10 +140,23 @@ class MotionFilter:
             )
             return True
 
-        fmap, delta_dev = self.feat_gate(
-            img, self._kf_fmap, self._kf_net, self._kf_inp
+        pending = (
+            self.frontend.pending_pack if self.frontend is not None else None
         )
-        delta = float(delta_dev)
+        if pending is not None:
+            # one pull serves the gate AND the previous keyframe's deferred
+            # cull/proximity scalars (saves a ~25 ms transport round trip)
+            fmap, scalars = self.feat_gate_pack(
+                img, self._kf_fmap, self._kf_net, self._kf_inp, pending
+            )
+            scalars = np.asarray(scalars)
+            delta = float(scalars[0])
+            self.frontend.resolve_pending(scalars[1:])
+        else:
+            fmap, delta_dev = self.feat_gate(
+                img, self._kf_fmap, self._kf_net, self._kf_inp
+            )
+            delta = float(delta_dev)
         if delta > self.thresh:
             self.count = 0
             v = self.video

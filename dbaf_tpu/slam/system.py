@@ -88,6 +88,8 @@ class DBAFusion:
         self.graph.agg_fn = agg_fn
         self.filter = MotionFilter(self.video, cfg, feat_fn, ctx_fn, update_fn)
         self.frontend = Frontend(self.video, self.graph, cfg)
+        # the motion-gate pull carries deferred update-kernel scalars
+        self.filter.frontend = self.frontend
 
     def set_multisensor(
         self,
@@ -157,6 +159,7 @@ class DBAFusion:
         import jax.numpy as jnp
 
         v, g, fe = self.video, self.graph, self.frontend
+        fe._resolve_pending()  # finish any deferred mega bookkeeping
         g._flush()  # apply pending edge permutations before snapshotting
         state = {
             "video": {
@@ -236,6 +239,7 @@ class DBAFusion:
         one batched transfer here."""
         import jax.numpy as jnp
 
+        self.frontend._resolve_pending()
         traj = self.frontend.trajectory
         if not traj:
             return np.zeros((0, 8))

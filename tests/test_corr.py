@@ -115,6 +115,29 @@ def test_pallas_lookup_matches_fused_interpret(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_corr_fused_pallas_matches_xla(rng):
+    """Fused volume+lookup kernel (interpret mode) == build+lookup+NHWC."""
+    from dbaf_tpu.ops.corr_pallas import corr_fused_pallas
+
+    E, H, W, C = 2, 16, 32, 64  # P=512 -> 4 tiles of 128
+    f1 = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.bfloat16)
+    coords = jnp.asarray(
+        rng.uniform(-2, 34, size=(E, H, W, 2)).astype(np.float32)
+    )
+    vol = corr.build_volume_nhwc(f1, f2)
+    ref = np.asarray(corr.lookup_fused(vol, coords)).transpose(0, 2, 3, 1)
+    out = np.asarray(corr_fused_pallas(f1, f2, coords, interpret=True))
+    assert out.shape == ref.shape
+    # bf16 output: ~1e-2 absolute tolerance (reference lookups are fp16)
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+    from dbaf_tpu.ops.corr_pallas import lookup_blk_pallas
+
+    out2 = np.asarray(lookup_blk_pallas(vol, coords, interpret=True))
+    np.testing.assert_allclose(out2, ref, atol=2e-2)
+
+
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""
     E, H, W = 1, 4, 4
