@@ -313,3 +313,361 @@ def corr_fused_pallas(
         vol, coords, radius, num_levels, tile=tile, group=group,
         interpret=interpret,
     )
+
+
+# --------------------------------------------------------------------------
+# v2 blockdiag lookup: host-precomputed kernel tables + single-matmul stage 2
+#
+# Profiling the v1 kernel shows the per-element exp2/floor/iota formula work
+# for the bilinear tables costs more than the matmuls they feed.  v2 moves
+# everything that does not depend on the lookup coordinate into two constant
+# (M, K) tables (grid-minus-offset G0 and level-scale-with-blockdiag-mask S0)
+# built in numpy at trace time, so the in-kernel table build is 4 VPU ops per
+# element:  k = relu(1 - |G0 - coord*inv|) * S0.  Stage 2 collapses the
+# per-slot masked-matmul loop into ONE (G,128,64)x(G,128,64)->(G,128,128)
+# dot_general followed by mask-add diagonal extraction.
+
+
+def _blk_tables(size: int, radius: int, num_levels: int, group: int, M: int):
+    """Constant tables for the blockdiag bilinear kernels.
+
+    Row m packs (pixel slot r = (m//32) % group, kernel row i = m%32,
+    i = level*R + offset).  Returns (G0, S0, inv_row):
+      G0[m,k]  = floor(h*inv_l(i)) - off(i)   (h = k % size)
+      S0[m,k]  = inv_l(i) * blockdiag(r, k) * (i < L*R)
+      inv[m]   = inv_l(i)  -- premultiplied onto the coordinate outside.
+    """
+    import numpy as np
+
+    R = 2 * radius + 1
+    K = group * size
+    i = np.arange(M) % 32
+    r = (np.arange(M) // 32) % group
+    lvl = np.minimum(i // R, num_levels - 1)
+    inv = 2.0 ** (-lvl.astype(np.float64))
+    off = (i % R - radius).astype(np.float64)
+    h = (np.arange(K) % size).astype(np.float64)
+    G0 = np.floor(h[None, :] * inv[:, None]) - off[:, None]
+    blockdiag = ((np.arange(K)[None, :] // size) == r[:, None]) & (
+        i[:, None] < num_levels * R
+    )
+    S0 = np.where(blockdiag, inv[:, None], 0.0)
+    return (
+        G0.astype(np.float32),
+        S0.astype(np.float32),
+        inv.astype(np.float32),
+    )
+
+
+def _lookup_blk2_kernel(
+    vol_ref, ym2_ref, xm2_ref, g0y_ref, s0y_ref, g0x_ref, s0x_ref, out_ref,
+    *, H2, W2, group,
+):
+    """One pixel tile: table-built kernels, two batched matmuls, mask-add
+    diagonal extraction.  See _lookup_blk_kernel for the packing."""
+    dt = jnp.bfloat16
+    vol = vol_ref[0]
+    TP = vol.shape[0]
+    G = TP // group
+    M = group * 32
+
+    volr = vol.reshape(G, group, H2, W2)
+    vol_blk = jnp.concatenate(
+        [volr[:, s] for s in range(group)], axis=1
+    )  # (G, group*H2, W2)
+
+    # stage 1: y kernels from tables (4 VPU ops/elem) + one batched matmul
+    ky = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0y_ref[...] - ym2_ref[0][:, :, None]))
+        * s0y_ref[...]
+    ).astype(dt)  # (G, M, group*H2)
+    tmp = jax.lax.dot_general(
+        ky, vol_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, M, W2)
+
+    # stage 2: x kernels + ONE batched matmul contracting W2 on both sides
+    kx = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0x_ref[...] - xm2_ref[0][:, :, None]))
+        * s0x_ref[...]
+    ).astype(dt)  # (G, M, W2)
+    out2 = jax.lax.dot_general(
+        kx, tmp.astype(dt), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, M, M): row m = x-kernel row (pixel r=m//32), col n = y row
+    #   (pixel r'=n//32) -- x-major matches the reference channel order
+
+    # keep the r == r' diagonal 32x32 blocks: out[g,m,j] = out2[g,m,(m//32)*32+j]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    acc = None
+    for r in range(group):
+        part = out2[:, :, 32 * r : 32 * (r + 1)] * (rows // 32 == r).astype(
+            jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def lookup_blk2_pallas(
+    volume: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-scale lookup, blockdiag-packed, channels-last (v2: table-driven).
+
+    Same contract as :func:`lookup_blk_pallas`: volume (E, P, H2, W2),
+    coords (E, H, W, 2) level-0 scale, output (E, H, W, L*(2r+1)^2) in the
+    reference channel order (correlation_kernels.cu:47-66)."""
+    import numpy as np
+
+    E, P_in, H2, W2 = volume.shape
+    _, H, W, _ = coords.shape
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    g0y, s0y, inv_m = _blk_tables(H2, radius, num_levels, group, M)
+    g0x, s0x, _ = _blk_tables(W2, radius, num_levels, 1, M)
+
+    flat = coords.reshape(E, P_in, 2)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    inv_j = jnp.asarray(inv_m)  # (M,)
+    xm2 = jnp.repeat(cm[..., 0], 32, axis=-1) * inv_j  # (E, P/group, M)
+    ym2 = jnp.repeat(cm[..., 1], 32, axis=-1) * inv_j
+
+    const = lambda e, t: (0, 0)
+    full = pl.pallas_call(
+        functools.partial(
+            _lookup_blk2_kernel, H2=H2, W2=W2, group=group,
+        ),
+        grid=(E, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, H2, W2), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, group * H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, group * H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((E, P_in // group, M, 32), jnp.bfloat16),
+        interpret=interpret,
+    )(
+        volume, ym2, xm2,
+        jnp.asarray(g0y), jnp.asarray(s0y), jnp.asarray(g0x), jnp.asarray(s0x),
+    )
+
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R].reshape(
+            E, P_in, R * R
+        )
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)
+
+
+# --------------------------------------------------------------------------
+# v3 fused build+lookup: the correlation volume never touches HBM.
+#
+# Ablation of the v1/v2 lookup shows 18 of ~22 ms is the HBM->VMEM DMA of
+# the (E, P, H2, W2) volume (1.2 GB/round; the trailing (48, 64) block
+# shape reaches only ~67 GB/s).  Average-pooling commutes with the
+# correlation (pool(f1 f2^T) = f1 pool(f2)^T), so the per-pixel volume
+# rows can be rebuilt INSIDE the kernel from the (tile, C) source features
+# and the (H2, C, W2) target features: H2 small (tile,C)x(C,W2) MXU dots
+# whose outputs are born in VMEM.  Packing is h-interleaved (vol_blk row =
+# h*group + r) so the per-h dot results land in place with only batch-dim
+# splits and sublane concats (Mosaic-safe); the stage-1 tables are built
+# for that column order.
+
+
+def _blk_tables_interleaved(
+    size: int, radius: int, num_levels: int, group: int, M: int
+):
+    """Constant stage-1 tables for the h-interleaved blockdiag packing.
+
+    Row m packs (pixel slot r = (m//32) % group, kernel row i = m%32,
+    i = level*R + offset).  Column k maps to (h = k//group, r' = k%group).
+    Returns (G0, S0, inv_row):
+      G0[m,k] = floor(h*inv_l(i)) - off(i)
+      S0[m,k] = inv_l(i) * (r' == r) * (i < L*R)
+      inv[m]  = inv_l(i) -- premultiplied onto the coordinate outside.
+    """
+    import numpy as np
+
+    R = 2 * radius + 1
+    K = group * size
+    i = np.arange(M) % 32
+    r = (np.arange(M) // 32) % group
+    lvl = np.minimum(i // R, num_levels - 1)
+    inv = 2.0 ** (-lvl.astype(np.float64))
+    off = (i % R - radius).astype(np.float64)
+    h = (np.arange(K) // group).astype(np.float64)
+    G0 = np.floor(h[None, :] * inv[:, None]) - off[:, None]
+    blockdiag = ((np.arange(K)[None, :] % group) == r[:, None]) & (
+        i[:, None] < num_levels * R
+    )
+    S0 = np.where(blockdiag, inv[:, None], 0.0)
+    return (
+        G0.astype(np.float32),
+        S0.astype(np.float32),
+        inv.astype(np.float32),
+    )
+
+
+def _fused_blk_kernel(
+    f1_ref, f2h_ref, ym2_ref, xm2_ref, g0y_ref, s0y_ref, g0x_ref, s0x_ref,
+    out_ref, *, H2, W2, group,
+):
+    """One pixel tile: in-VMEM volume build + blockdiag two-stage lookup."""
+    dt = jnp.bfloat16
+    f1 = f1_ref[0]            # (tile, C)
+    TP = f1.shape[0]
+    G = TP // group
+    M = group * 32
+
+    # volume rows, h-interleaved: vol_blk[g, h*group + r, w]
+    pieces = []
+    for h in range(H2):
+        vol_h = jax.lax.dot_general(
+            f1, f2h_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, W2)
+        pieces.append(vol_h.astype(dt).reshape(G, group, W2))
+    vol_blk = jnp.concatenate(pieces, axis=1)  # (G, H2*group, W2)
+
+    # stage 1: y kernels from tables + one batched matmul
+    ky = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0y_ref[...] - ym2_ref[0][:, :, None]))
+        * s0y_ref[...]
+    ).astype(dt)  # (G, M, group*H2)
+    tmp = jax.lax.dot_general(
+        ky, vol_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, M, W2): row m = (pixel slot r=m//32, y-kernel row i=m%32)
+
+    # stage 2: per-slot masked matmuls (v1 structure, Mosaic-proven)
+    kx_full = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0x_ref[...] - xm2_ref[0][:, :, None]))
+        * s0x_ref[...]
+    ).astype(dt)  # (G, M, W2)
+    tmpb = tmp.astype(dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    acc = None
+    for r in range(group):
+        kx_r = kx_full * (rows // 32 == r).astype(dt)[None]
+        tmp_r = tmpb[:, 32 * r : 32 * (r + 1), :]  # (G, 32, W2)
+        part = jax.lax.dot_general(
+            kx_r, tmp_r, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, M, 32)
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_blk_pallas(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused correlation build + multi-scale lookup, channels-last.
+
+    fmap1, fmap2: (E, H2, W2, C) feature maps; coords: (E, H, W, 2) at
+    level-0 scale.  Returns (E, H, W, L*(2r+1)^2) in the reference channel
+    order (correlation_kernels.cu:47-66), numerically matching
+    ``corr_fused_pallas`` (volume = <fmap1/4, fmap2/4>, corr.py:63-71 of
+    the reference) without materializing the volume in HBM.
+    """
+    E, H2, W2, C = fmap1.shape
+    _, H, W, _ = coords.shape
+    P_in = H2 * W2
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    f1p = (fmap1.astype(jnp.bfloat16) / 4.0).reshape(E, P_in, C)
+    # per-h matmul operands: (E, H2, C, W2)
+    f2h = (fmap2.astype(jnp.bfloat16) / 4.0).transpose(0, 1, 3, 2)
+
+    g0y, s0y, inv_m = _blk_tables_interleaved(H2, radius, num_levels, group, M)
+    g0x, s0x, _ = _blk_tables(W2, radius, num_levels, 1, M)
+
+    flat = coords.reshape(E, P_in, 2)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    inv_j = jnp.asarray(inv_m)  # (M,)
+    xm2 = jnp.repeat(cm[..., 0], 32, axis=-1) * inv_j  # (E, P/group, M)
+    ym2 = jnp.repeat(cm[..., 1], 32, axis=-1) * inv_j
+
+    const = lambda e, t: (0, 0)
+    full = pl.pallas_call(
+        functools.partial(_fused_blk_kernel, H2=H2, W2=W2, group=group),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2, C, W2), lambda e, t: (e, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, group * H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, group * H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        interpret=interpret,
+    )(
+        f1p, f2h, ym2, xm2,
+        jnp.asarray(g0y), jnp.asarray(s0y), jnp.asarray(g0x), jnp.asarray(s0x),
+    )
+
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R].reshape(
+            E, P_in, R * R
+        )
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)

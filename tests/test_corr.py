@@ -137,6 +137,12 @@ def test_corr_fused_pallas_matches_xla(rng):
     out2 = np.asarray(lookup_blk_pallas(vol, coords, interpret=True))
     np.testing.assert_allclose(out2, ref, atol=2e-2)
 
+    # v3: in-kernel volume build (volume never materialized)
+    from dbaf_tpu.ops.corr_pallas import corr_fused_blk_pallas
+
+    out3 = np.asarray(corr_fused_blk_pallas(f1, f2, coords, interpret=True))
+    np.testing.assert_allclose(out3, ref, atol=2e-2)
+
 
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""

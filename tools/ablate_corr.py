@@ -1,0 +1,220 @@
+"""Ablation microbench of the blockdiag lookup kernel: which stage costs.
+
+Variants (all same grid/IO shapes as the real kernel, bench operating point
+E=64, P=3072, tile=128, group=4):
+  io      : DMA-only kernel (copy a slice of vol to out)  -> invocation+DMA floor
+  tables  : build ky/kx from tables, reduce to out, no matmuls
+  s1      : tables + stage-1 batched matmul only
+  s2      : tables + stage-2 batched matmul only (tmp faked from vol slice)
+  full    : the real v2 kernel
+  full512 : real v2 with tile=512 (fewer invocations)
+  mm      : pure batched-matmul kernel, same dot shapes, no tables/reshape
+
+Usage: python tools/ablate_corr.py [variant ...]
+"""
+
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbaf_tpu.utils.jax_setup import setup
+
+setup()
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from profile_round import slope  # noqa: E402
+
+from dbaf_tpu.ops.corr_pallas import _blk_tables
+
+E, H, W, C = 64, 48, 64, 128
+P, H2, W2 = H * W, H, W
+TILE, GROUP = 128, 4
+G, M = TILE // GROUP, GROUP * 32
+
+
+def make_variant(which, tile=TILE):
+    g = GROUP
+    Gt = tile // g
+
+    g0y, s0y, inv_m = _blk_tables(H2, 3, 4, g, M)
+    g0x, s0x, _ = _blk_tables(W2, 3, 4, 1, M)
+
+    def kern(vol_ref, ym2_ref, xm2_ref, g0y_r, s0y_r, g0x_r, s0x_r, out_ref):
+        dt = jnp.bfloat16
+        vol = vol_ref[0]
+        TP = vol.shape[0]
+        Gk = TP // g
+
+        if which == "io":
+            volr0 = vol.reshape(Gk, g, H2, W2)
+            vb = jnp.concatenate([volr0[:, s] for s in range(g)], axis=1)
+            out_ref[0] = vb[:, :M, :32].astype(out_ref.dtype)
+            return
+
+        volr = vol.reshape(Gk, g, H2, W2)
+        vol_blk = jnp.concatenate([volr[:, s] for s in range(g)], axis=1)
+
+        ky = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(g0y_r[...] - ym2_ref[0][:, :, None]))
+            * s0y_r[...]
+        ).astype(dt)
+        kx = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(g0x_r[...] - xm2_ref[0][:, :, None]))
+            * s0x_r[...]
+        ).astype(dt)
+
+        if which == "tables":
+            out_ref[0] = (
+                jnp.sum(ky, axis=2)[:, :, None] + jnp.sum(kx, axis=2)[:, :, None]
+            ).astype(out_ref.dtype) * jnp.ones((1, 1, 32), out_ref.dtype) + (
+                vol_blk[:, :M, :32].astype(out_ref.dtype)
+            )
+            return
+
+        if which in ("s1", "full"):
+            tmp = jax.lax.dot_general(
+                ky, vol_blk, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # s2: fake tmp from vol without a matmul
+            tmp = vol_blk[:, :M, :].astype(jnp.float32)
+
+        if which == "s1":
+            out_ref[0] = tmp[:, :, :32].astype(out_ref.dtype)
+            return
+
+        out2 = jax.lax.dot_general(
+            kx, tmp.astype(dt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        acc = None
+        for r in range(g):
+            part = out2[:, :, 32 * r: 32 * (r + 1)] * (
+                rows // 32 == r
+            ).astype(jnp.float32)
+            acc = part if acc is None else acc + part
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    n_tiles = P // tile
+    const = lambda e, t: (0, 0)
+
+    @jax.jit
+    def run(vol, ym2, xm2):
+        return pl.pallas_call(
+            kern,
+            grid=(E, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, tile, H2, W2), lambda e, t: (e, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Gt, M), lambda e, t: (e, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Gt, M), lambda e, t: (e, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, GROUP * H2), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, GROUP * H2), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W2), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Gt, M, 32), lambda e, t: (e, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E, P // GROUP, M, 32), jnp.bfloat16),
+        )(vol, ym2, xm2, jnp.asarray(g0y), jnp.asarray(s0y),
+          jnp.asarray(g0x), jnp.asarray(s0x))
+
+    return run
+
+
+def make_mm():
+    """Pure batched-matmul kernel: batch G=32, (128,192)x(192,64) +
+    (128,64)x(64,128 via dual contraction) -- the dot shapes of the real
+    kernel with zero table/reshape work."""
+
+    def kern(a_ref, b_ref, kx_ref, out_ref):
+        tmp = jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, M, W2)
+        out2 = jax.lax.dot_general(
+            kx_ref[0], tmp.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, M, M)
+        out_ref[0] = out2[:, :, :32].astype(out_ref.dtype)
+
+    n_tiles = P // TILE
+
+    @jax.jit
+    def run(a, b, kx):
+        return pl.pallas_call(
+            kern,
+            grid=(E, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, G, M, GROUP * H2), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, GROUP * H2, W2), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, M, W2), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G, M, 32), lambda e, t: (e, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (E, P // GROUP, M, 32), jnp.bfloat16
+            ),
+        )(a, b, kx)
+
+    return run
+
+
+def main():
+    want = sys.argv[1:] or ["io", "tables", "s1", "s2", "full"]
+    rng = np.random.default_rng(0)
+    print("backend:", jax.default_backend(), flush=True)
+
+    vol = jnp.asarray(rng.standard_normal((E, P, H2, W2)), jnp.bfloat16)
+    cm = rng.uniform(0, 48, (E, P // GROUP, GROUP, 2)).astype(np.float32)
+    _, _, inv_m = _blk_tables(H2, 3, 4, GROUP, M)
+    ym2 = jnp.asarray(np.repeat(cm[..., 1], 32, axis=-1) * inv_m)
+    xm2 = jnp.asarray(np.repeat(cm[..., 0], 32, axis=-1) * inv_m)
+
+    for which in want:
+        if which == "mm":
+            run = make_mm()
+            a = jnp.asarray(
+                rng.standard_normal((E, G, M, GROUP * H2)), jnp.bfloat16
+            )
+            b = jnp.asarray(
+                rng.standard_normal((E, G, GROUP * H2, W2)), jnp.bfloat16
+            )
+            kx = jnp.asarray(
+                rng.standard_normal((E, G, M, W2)), jnp.bfloat16
+            )
+
+            def step_mm(x):
+                out = run(x, b, kx)
+                return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+
+            slope("mm", step_mm, a)
+            continue
+
+        tile = 512 if which == "full512" else TILE
+        run = make_variant("full" if which == "full512" else which, tile)
+
+        def step(c, run=run):
+            out = run(vol, c, xm2)
+            return c + 1e-3 * (jnp.mean(out.astype(jnp.float32)) % 1.0)
+
+        slope(which, step, ym2)
+
+
+if __name__ == "__main__":
+    main()

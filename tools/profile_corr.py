@@ -63,6 +63,47 @@ def main():
 
         slope("fused256", fused2_step, coords0)
 
+    if "blk" in want:
+        from dbaf_tpu.ops.corr_pallas import lookup_blk_pallas
+
+        @jax.jit
+        def blk_step(c):
+            vol = corr_ops.build_volume_nhwc(f1, f2)
+            out = lookup_blk_pallas(vol, c, 3, 4)
+            return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+        slope("blk", blk_step, coords0)
+
+    if "blk2" in want:
+        from dbaf_tpu.ops.corr_pallas import lookup_blk2_pallas
+
+        @jax.jit
+        def blk2_step(c):
+            vol = corr_ops.build_volume_nhwc(f1, f2)
+            out = lookup_blk2_pallas(vol, c, 3, 4)
+            return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+        slope("blk2", blk2_step, coords0)
+
+    if "blkg8" in want:
+        from dbaf_tpu.ops.corr_pallas import lookup_blk_pallas
+
+        @jax.jit
+        def blkg8_step(c):
+            vol = corr_ops.build_volume_nhwc(f1, f2)
+            out = lookup_blk_pallas(vol, c, 3, 4, tile=256, group=8)
+            return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+        slope("blkg8", blkg8_step, coords0)
+
+    if "vol" in want:
+        @jax.jit
+        def vol_step(c):
+            vol = corr_ops.build_volume_nhwc(f1 + c[..., :1].astype(f1.dtype) * 0, f2)
+            return c + 1e-3 * (jnp.mean(vol) % 1.0)
+
+        slope("vol", vol_step, coords0)
+
     if "fusedg2" in want:
         @jax.jit
         def fusedg2_step(c):
@@ -70,6 +111,39 @@ def main():
             return c + 1e-3 * (jnp.mean(out) % 1.0)
 
         slope("fusedg2", fusedg2_step, coords0)
+
+    if "v3" in want or "v3t256" in want:
+        from dbaf_tpu.ops.corr_pallas import corr_fused_blk_pallas
+
+        if "v3" in want:
+            @jax.jit
+            def v3_step(c):
+                out = corr_fused_blk_pallas(f1, f2, c)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope("v3", v3_step, coords0)
+
+        if "v3t256" in want:
+            @jax.jit
+            def v3t256_step(c):
+                out = corr_fused_blk_pallas(f1, f2, c, tile=256)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope("v3t256", v3t256_step, coords0)
+
+    for name, kw in (
+        ("v3g2", dict(group=2)),
+        ("v3g2t256", dict(group=2, tile=256)),
+        ("v3g8", dict(group=8)),
+    ):
+        if name in want:
+            from dbaf_tpu.ops.corr_pallas import corr_fused_blk_pallas
+
+            def _step(c, kw=kw):
+                out = corr_fused_blk_pallas(f1, f2, c, **kw)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope(name, jax.jit(_step), coords0)
 
 
 if __name__ == "__main__":
