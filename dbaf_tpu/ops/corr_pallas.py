@@ -584,6 +584,20 @@ def _fused_blk_kernel(
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def prepare_corr_fmaps(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
+    """Preprocess feature maps for :func:`corr_fused_blk_prepared`.
+
+    Hoist this out of the per-round loop: the operands only depend on the
+    per-keyframe feature buffers, not on the lookup coordinates.
+    Returns (f1p (E, P, C), f2h (E, H2, C, W2)), both bf16 and /4-scaled
+    so <f1p[p], f2h[h,:,w]> is the reference volume entry (corr.py:63-71).
+    """
+    E, H2, W2, C = fmap1.shape
+    f1p = (fmap1.astype(jnp.bfloat16) / 4.0).reshape(E, H2 * W2, C)
+    f2h = (fmap2.astype(jnp.bfloat16) / 4.0).transpose(0, 1, 3, 2)
+    return f1p, f2h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
@@ -606,19 +620,37 @@ def corr_fused_blk_pallas(
     ``corr_fused_pallas`` (volume = <fmap1/4, fmap2/4>, corr.py:63-71 of
     the reference) without materializing the volume in HBM.
     """
-    E, H2, W2, C = fmap1.shape
+    f1p, f2h = prepare_corr_fmaps(fmap1, fmap2)
+    return corr_fused_blk_prepared(
+        f1p, f2h, coords, radius, num_levels, tile=tile, group=group,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_blk_prepared(
+    f1p: jnp.ndarray,
+    f2h: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused lookup on preprocessed operands (see :func:`prepare_corr_fmaps`)."""
+    E, P_in, C = f1p.shape
+    _, H2, _, W2 = f2h.shape
     _, H, W, _ = coords.shape
-    P_in = H2 * W2
     R = 2 * radius + 1
     LR = num_levels * R
     assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
     n_tiles = P_in // tile
     G = tile // group
     M = group * 32
-
-    f1p = (fmap1.astype(jnp.bfloat16) / 4.0).reshape(E, P_in, C)
-    # per-h matmul operands: (E, H2, C, W2)
-    f2h = (fmap2.astype(jnp.bfloat16) / 4.0).transpose(0, 1, 3, 2)
 
     g0y, s0y, inv_m = _blk_tables_interleaved(H2, radius, num_levels, group, M)
     g0x, s0x, _ = _blk_tables(W2, radius, num_levels, 1, M)

@@ -132,21 +132,32 @@ def make_update_kernel(
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
-        # correlation volume: built ONCE per keyframe step (features are
-        # fixed across rounds), one MXU matmul.  Stereo (ii==jj) edges
-        # correlate against the right-camera features
-        # (covisible_graph.py:128-130).  On TPU the lookup runs the
-        # blockdiag Pallas kernel with channels-last output (no NHWC
-        # transpose); elsewhere the XLA separable-matmul path.
+        # correlation operands: gathered ONCE per keyframe step (features
+        # are fixed across rounds).  Stereo (ii==jj) edges correlate
+        # against the right-camera features (covisible_graph.py:128-130).
+        # On TPU the per-round lookup runs the FUSED Pallas kernel
+        # (in-kernel volume build, corr_pallas.py: the materialized volume
+        # costs ~18 ms/round of pure HBM DMA); elsewhere the XLA
+        # separable-matmul path on a prebuilt volume.
         f1 = fmaps_buf[ii]
         f2 = fmaps_buf[jj]
         if fmaps_right_buf is not None:
             stereo_e = (ii == jj)[:, None, None, None]
             f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
-        vol = corr_ops.build_volume_nhwc(f1, f2)
-        blk_corr = jax.default_backend() == "tpu"
+        grp = cfg.graph.corr_group
+        pix = f1.shape[1] * f1.shape[2]
+        blk_corr = (
+            jax.default_backend() == "tpu"
+            and pix % 128 == 0 and 128 % grp == 0
+        )
         if blk_corr:
-            from ..ops.corr_pallas import lookup_blk_pallas
+            from ..ops.corr_pallas import (
+                corr_fused_blk_prepared, prepare_corr_fmaps,
+            )
+
+            f1p, f2h = prepare_corr_fmaps(f1, f2)
+        else:
+            vol = corr_ops.build_volume_nhwc(f1, f2)
         inp_e = inps_buf[ii]
 
         def one_round(_, carry):
@@ -161,9 +172,11 @@ def make_update_kernel(
             ).clip(-64.0, 64.0)
 
             # ---- multi-scale correlation lookup, fused over levels
-            # (blockdiag Pallas kernel on TPU, channels-last output)
+            # (fused build+lookup Pallas kernel on TPU, channels-last)
             if blk_corr:
-                corr = lookup_blk_pallas(vol, coords1, radius)
+                corr = corr_fused_blk_prepared(
+                    f1p, f2h, coords1, radius, group=grp,
+                )
             else:
                 corr = corr_ops.lookup_auto(vol, coords1, radius)
                 corr = corr.transpose(0, 2, 3, 1)

@@ -20,8 +20,13 @@ class GraphConfig:
     """Covisibility-graph shape & edge-selection knobs."""
 
     max_factors: int = 48            # active-edge budget (demo_vio_tumvi.py:87)
-    edge_capacity: int = 64          # static padded edge-array size
+    edge_capacity: int = 48          # static padded edge-array size; the
+    # reference's steady state never exceeds max_factors (age eviction,
+    # covisible_graph.py:117-122), so padding beyond it only inflates every
+    # per-edge kernel.  Init-time proximity adds (remove=False) truncate.
     inactive_capacity: int = 64      # static padded inactive-edge store
+    corr_group: int = 8              # blockdiag pixel packing of the fused
+    # Pallas correlation kernel (bigger fills the MXU better)
     frontend_window: int = 5         # proximity window (demo:98)
     frontend_radius: int = 2         # forced radius edges (demo:99)
     frontend_nms: int = 1            # NMS suppression radius (demo:100)

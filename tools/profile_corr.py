@@ -135,6 +135,9 @@ def main():
         ("v3g2", dict(group=2)),
         ("v3g2t256", dict(group=2, tile=256)),
         ("v3g8", dict(group=8)),
+        ("v3g8t512", dict(group=8, tile=512)),
+        ("v3g16", dict(group=16, tile=256)),
+        ("v3g16t512", dict(group=16, tile=512)),
     ):
         if name in want:
             from dbaf_tpu.ops.corr_pallas import corr_fused_blk_pallas
