@@ -27,7 +27,7 @@ setup()
 import jax
 import jax.numpy as jnp
 
-E_CAP, I_CAP, P_WIN = 64, 64, 48
+E_CAP, I_CAP, P_WIN = 48, 64, 48
 HT, WD = 384, 512
 H8, W8 = HT // 8, WD // 8
 D = H8 * W8
