@@ -176,3 +176,207 @@ def select_proximity_edges(
     out_ii, out_jj, n_out = state
     mask = jnp.arange(max_out, dtype=i32) < n_out
     return out_ii, out_jj, mask
+
+
+# ---------------------------------------------------------------------------
+# Full per-keyframe edge-state transition (device side).
+#
+# Replicates the host sequence for a new visual keyframe exactly
+# (slam/frontend.py:255-276 + slam/graph.py rm_factors/add_factors):
+#   1. stale retirement (age/window) into the inactive store
+#   2. proximity selection from the carried distance pack
+#   3. dedup against active+inactive edges and within the new list
+#   4. age-ranked budget eviction (also retired to inactive)
+#   5. append, producing the (perm, is_new) pair _rebuild_edges consumes.
+# Inactive-store semantics: appends drop the OLDEST entries on overflow,
+# which composes to "concat everything, keep the last i_cap rows".
+
+
+def _stable_compact(valid):
+    """positions[k] = output slot of input k (order-preserving); count."""
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    return jnp.where(valid, pos, -1), jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "src", "wf", "n_skip", "skip_offsets", "rad", "nms",
+        "max_factors", "max_age", "active_window", "visual_only", "max_out",
+    ),
+)
+def edge_transition(
+    ii, jj, age, e_valid,
+    ii_i, jj_i, i_valid,
+    bad_ii, bad_jj, bad_valid,
+    prox_d,                 # (src*wf + n_skip,) distances for the new frame
+    t1,                     # scalar int32 keyframe count incl. the new frame
+    thresh: float,
+    *,
+    src: int,
+    wf: int,
+    n_skip: int,
+    skip_offsets: tuple,
+    rad: int,
+    nms: int,
+    max_factors: int,
+    max_age: int,
+    active_window: int,
+    visual_only: bool,
+    max_out: int,
+):
+    """Returns a dict with the new active/inactive index state plus the
+    gather plans (perm/is_new for _rebuild_edges, perm_old/from_active/
+    act_idx for _rebuild_inactive)."""
+    i32 = jnp.int32
+    E = ii.shape[0]
+    I = ii_i.shape[0]
+    t1 = t1.astype(i32)
+
+    # ---- 1. stale retirement (frontend.py:257-266)
+    out_win = (ii < t1 - active_window) | (jj < t1 - active_window)
+    if visual_only:
+        stale = (age > max_age) & out_win
+    else:
+        stale = (age > max_age) | out_win
+    stale = stale & e_valid
+    keep1 = e_valid & ~stale
+
+    # ---- 2. selection candidates (graph.py add_proximity + host_metrics)
+    t0 = t1 - src
+    t1p = t1 - wf
+    ii_c = t0 + jnp.arange(src, dtype=i32)
+    jj_c = t1p + jnp.arange(wf, dtype=i32)
+    cand_i = jnp.repeat(ii_c, wf)
+    cand_j = jnp.tile(jj_c, src)
+    d = prox_d
+    if n_skip:
+        skip = jnp.asarray(list(skip_offsets), i32)
+        si = jnp.full((n_skip,), t1 - 1, i32)
+        sj = t0 + skip
+        cand_i = jnp.concatenate([cand_i, si])
+        cand_j = jnp.concatenate([cand_j, sj])
+        # host drops non-positive skip targets (graph.py:934)
+        d = d.at[src * wf:].set(jnp.where(sj <= 0, INF, d[src * wf:]))
+
+    # NMS seeds: post-retirement actives + bad + inactive INCLUDING the
+    # just-retired edges (they are in ii_inac by selection time on host)
+    exist_ii = jnp.concatenate([ii, bad_ii, ii_i, ii])
+    exist_jj = jnp.concatenate([jj, bad_jj, jj_i, jj])
+    exist_m = jnp.concatenate([keep1, bad_valid, i_valid, stale])
+
+    sel_ii, sel_jj, sel_m = select_proximity_edges(
+        d, cand_i, cand_j, exist_ii, exist_jj, exist_m,
+        t0, jnp.maximum(t1p, 0), t1, thresh,
+        src=src, win=wf, n_skip=n_skip, rad=rad, nms=nms,
+        max_factors=max_factors, max_out=max_out,
+    )
+
+    # ---- 3. dedup (graph.py:469-480): vs active(kept) U inactive(+retired),
+    # and within the new list (first occurrence wins)
+    def pair_eq(a1, b1, a2, b2, m2):
+        return (a1[:, None] == a2[None, :]) & (b1[:, None] == b2[None, :]) \
+            & m2[None, :]
+
+    in_active = jnp.any(pair_eq(sel_ii, sel_jj, ii, jj, keep1), axis=1)
+    in_inac = jnp.any(
+        pair_eq(sel_ii, sel_jj, ii_i, jj_i, i_valid), axis=1
+    ) | jnp.any(pair_eq(sel_ii, sel_jj, ii, jj, stale), axis=1)
+    same = (sel_ii[:, None] == sel_ii[None, :]) & \
+        (sel_jj[:, None] == sel_jj[None, :]) & sel_m[None, :]
+    earlier = jnp.tril(same, k=-1)
+    dup_within = jnp.any(earlier, axis=1)
+    new_m = sel_m & ~in_active & ~in_inac & ~dup_within
+    n_new = jnp.sum(new_m.astype(i32))
+
+    # ---- 4. age-ranked budget eviction (graph.py:482-495): evict oldest
+    # actives beyond the budget, retiring them too
+    n1 = jnp.sum(keep1.astype(i32))
+    do_evict = (n1 + n_new > max_factors) & (n1 > 0) & (max_factors > 0)
+    # ranks among kept actives by ascending age (stable): rank 0 = newest.
+    # Host ranks over its compacted array; padding rows get huge keys so
+    # kept rows occupy ranks 0..n1-1 in the same relative order.
+    order_key = jnp.where(keep1, age.astype(jnp.int32), jnp.int32(2**30))
+    order = jnp.argsort(order_key, stable=True)
+    ranks = jnp.zeros((E,), i32).at[order].set(jnp.arange(E, dtype=i32))
+    evict = do_evict & keep1 & (
+        ranks >= jnp.maximum(max_factors - n_new, 0)
+    )
+    keep2 = keep1 & ~evict
+
+    # ---- 5. compose the new active set: kept (order) then new (order)
+    pos_k, n_keep = _stable_compact(keep2)
+    cap_left = E - n_keep
+    pos_n, _ = _stable_compact(new_m)
+    new_slot = n_keep + pos_n
+    take_new = new_m & (pos_n < cap_left)
+
+    # scatter kept: slot pos_k[s] <- source s (only where keep2)
+    perm = jnp.zeros((E,), i32).at[
+        jnp.where(keep2, pos_k, E + 1)
+    ].set(jnp.arange(E, dtype=i32), mode="drop")
+
+    ii2 = jnp.zeros((E,), i32).at[
+        jnp.where(keep2, pos_k, E + 1)
+    ].set(ii.astype(i32), mode="drop")
+    jj2 = jnp.zeros((E,), i32).at[
+        jnp.where(keep2, pos_k, E + 1)
+    ].set(jj.astype(i32), mode="drop")
+    age2 = jnp.zeros((E,), i32).at[
+        jnp.where(keep2, pos_k, E + 1)
+    ].set(age.astype(i32), mode="drop")
+
+    sel_slots = jnp.where(take_new, new_slot, E + 1)
+    ii2 = ii2.at[sel_slots].set(sel_ii, mode="drop")
+    jj2 = jj2.at[sel_slots].set(sel_jj, mode="drop")
+
+    n_total = n_keep + jnp.sum(take_new.astype(i32))
+    valid2 = jnp.arange(E, dtype=i32) < n_total
+    is_new = (jnp.arange(E, dtype=i32) >= n_keep) & valid2
+
+    # ---- inactive composition: concat(prior, stale, evicted), keep LAST I
+    n_i = jnp.sum(i_valid.astype(i32))
+    pos_s, n_s = _stable_compact(stale)
+    pos_e, n_e = _stable_compact(evict)
+    total = n_i + n_s + n_e
+    drop = jnp.maximum(total - I, 0)
+
+    # virtual concat index: prior at [0, n_i), stale at [n_i, n_i+n_s),
+    # evicted after; final slot = virtual - drop
+    pos_i, _ = _stable_compact(i_valid)
+    slot_prior = jnp.where(i_valid, pos_i - drop, -1)
+    slot_stale = jnp.where(stale, n_i + pos_s - drop, -1)
+    slot_evict = jnp.where(evict, n_i + n_s + pos_e - drop, -1)
+
+    perm_old = jnp.zeros((I,), i32)
+    from_act = jnp.zeros((I,), bool)
+    act_idx = jnp.zeros((I,), i32)
+    ok_p = i_valid & (slot_prior >= 0)
+    perm_old = perm_old.at[jnp.where(ok_p, slot_prior, I + 1)].set(
+        jnp.arange(I, dtype=i32), mode="drop")
+    for flags, slots in ((stale, slot_stale), (evict, slot_evict)):
+        ok = flags & (slots >= 0)
+        tgt = jnp.where(ok, slots, I + 1)
+        from_act = from_act.at[tgt].set(True, mode="drop")
+        act_idx = act_idx.at[tgt].set(jnp.arange(E, dtype=i32), mode="drop")
+
+    ii_i2 = jnp.zeros((I,), i32).at[
+        jnp.where(ok_p, slot_prior, I + 1)
+    ].set(ii_i.astype(i32), mode="drop")
+    jj_i2 = jnp.zeros((I,), i32).at[
+        jnp.where(ok_p, slot_prior, I + 1)
+    ].set(jj_i.astype(i32), mode="drop")
+    for flags, slots in ((stale, slot_stale), (evict, slot_evict)):
+        ok = flags & (slots >= 0)
+        tgt = jnp.where(ok, slots, I + 1)
+        ii_i2 = ii_i2.at[tgt].set(ii.astype(i32), mode="drop")
+        jj_i2 = jj_i2.at[tgt].set(jj.astype(i32), mode="drop")
+    i_valid2 = jnp.arange(I, dtype=i32) < jnp.minimum(total, I)
+
+    return dict(
+        ii=ii2, jj=jj2, age=age2, valid=valid2,
+        perm=perm, is_new=is_new,
+        ii_i=ii_i2, jj_i=jj_i2, i_valid=i_valid2,
+        inact_perm_old=perm_old, inact_from_act=from_act,
+        inact_act_idx=act_idx,
+    )

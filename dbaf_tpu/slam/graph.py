@@ -399,13 +399,15 @@ def make_update_kernel(
         )
 
     # donate: poses(0), disps(1), e_net(8), e_target(9), e_weight(10)
-    return jax.jit(
+    jitted = jax.jit(
         kernel,
         static_argnames=(
             "iters", "use_inactive", "do_ba", "use_sens", "seed_next", "mega"
         ),
         donate_argnums=(0, 1, 8, 9, 10),
     )
+    jitted.raw = kernel  # inlineable body for the async step kernel
+    return jitted
 
 
 class CovisibleGraph:

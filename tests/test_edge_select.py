@@ -86,3 +86,188 @@ def test_matches_native_scheduler(seed):
     got_jj = np.asarray(out_jj)[np.asarray(out_mask)]
     np.testing.assert_array_equal(got_ii, ref_ii, err_msg=f"seed {seed}")
     np.testing.assert_array_equal(got_jj, ref_jj, err_msg=f"seed {seed}")
+
+
+# ---------------------------------------------------------------------------
+# edge_transition vs the real host graph machinery
+
+
+def _mk_graph(cfg, rng, t, n_edges, n_inac, n_aged):
+    import jax.numpy as jnp
+
+    from dbaf_tpu.slam.graph import CovisibleGraph
+    from dbaf_tpu.slam.video import DepthVideo
+    from dbaf_tpu.ops import lie
+
+    video = DepthVideo(cfg)
+    video.counter = t
+    B = cfg.buffer
+    h8, w8 = video.h8, video.w8
+    poses = np.concatenate(
+        [rng.normal(size=(B, 3)) * 0.05, np.tile([0, 0, 0, 1.0], (B, 1))],
+        axis=1,
+    ).astype(np.float32)
+    video.poses = jnp.asarray(poses)
+    video.disps = jnp.asarray(
+        rng.uniform(0.5, 2.0, (B, h8, w8)).astype(np.float32)
+    )
+    video.nets = jnp.asarray(
+        rng.normal(size=(B, h8, w8, 128)).astype(np.float32), jnp.bfloat16
+    )
+    video.intrinsics = jnp.asarray(
+        [2.0 * w8, 2.0 * w8, w8 / 2, h8 / 2], jnp.float32
+    )
+
+    def dummy_update(net, inp, corr, motn, ii, jj, aux):
+        return net, jnp.zeros(net.shape[:-1] + (2,)), jnp.zeros(
+            net.shape[:-1] + (2,)
+        )
+
+    g = CovisibleGraph(video, dummy_update, cfg)
+    # random initial edges
+    pairs = set()
+    while len(pairs) < n_edges + n_inac:
+        a, b = rng.integers(0, t, size=2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+    ii = np.asarray([p[0] for p in pairs])
+    jj = np.asarray([p[1] for p in pairs])
+    g.add_factors(ii, jj)
+    g._flush()
+    g.age = rng.integers(0, 10, size=g.n).astype(np.int64)
+    # retire a few to the inactive store
+    if n_inac:
+        m = np.zeros(g.n, dtype=bool)
+        m[rng.choice(g.n, size=n_inac, replace=False)] = True
+        g.rm_factors(m, store=True)
+        g._flush()
+    # age some beyond max_age so stale retirement triggers
+    if n_aged and g.n:
+        idx = rng.choice(g.n, size=min(n_aged, g.n), replace=False)
+        g.age[idx] = cfg.graph.max_age + 5
+    return video, g
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_edge_transition_matches_host(seed):
+    import jax.numpy as jnp
+
+    from dbaf_tpu.slam.edge_select import edge_transition
+    from dbaf_tpu.slam.graph import _rebuild_edges, _rebuild_inactive
+    from dbaf_tpu.utils.config import DBAFusionConfig, GraphConfig
+
+    rng = np.random.default_rng(100 + seed)
+    wf, src, rad, nms = 5, 5, 2, 1
+    skip = (-4, -5, -6)
+    cfg = DBAFusionConfig(
+        image_size=(64, 128),
+        buffer=24,
+        graph=GraphConfig(
+            max_factors=12, edge_capacity=16, inactive_capacity=12,
+            frontend_window=wf, frontend_radius=rad, frontend_nms=nms,
+            frontend_thresh=16.0, max_age=8, skip_edge=skip,
+        ),
+    )
+    t1 = 14
+    video, g = _mk_graph(cfg, rng, t1, n_edges=10, n_inac=3, n_aged=3)
+    aw = 10
+
+    n_skip = len(skip)
+    d_syn = rng.uniform(0, 30, size=src * wf + n_skip)
+    d_syn[rng.random(len(d_syn)) < 0.15] = 150.0
+
+    # snapshot pre-state for the device transition
+    E, I = g.e_cap, g.i_cap
+    pre = dict(
+        ii=np.zeros(E, np.int32), jj=np.zeros(E, np.int32),
+        age=np.zeros(E, np.int32), valid=np.zeros(E, bool),
+        ii_i=np.zeros(I, np.int32), jj_i=np.zeros(I, np.int32),
+        i_valid=np.zeros(I, bool),
+    )
+    pre["ii"][: g.n] = g.ii
+    pre["jj"][: g.n] = g.jj
+    pre["age"][: g.n] = g.age
+    pre["valid"][: g.n] = True
+    ni = len(g.ii_inac)
+    pre["ii_i"][:ni] = g.ii_inac
+    pre["jj_i"][:ni] = g.jj_inac
+    pre["i_valid"][:ni] = True
+    # deep copies: the host path donates these buffers
+    from dbaf_tpu.slam.graph import EdgeArrays
+
+    pre_edges = EdgeArrays(
+        jnp.asarray(np.asarray(g.edges.net.astype(jnp.float32))).astype(
+            g.edges.net.dtype
+        ),
+        jnp.asarray(np.asarray(g.edges.target)),
+        jnp.asarray(np.asarray(g.edges.weight)),
+    )
+    pre_tinac = jnp.asarray(np.asarray(g.t_inac))
+    pre_winac = jnp.asarray(np.asarray(g.w_inac))
+    pre_target_np = np.asarray(pre_edges.target)
+    pre_weight_np = np.asarray(pre_edges.weight)
+
+    # ---- host path (frontend.py:255-276 visual)
+    stale = (g.age > cfg.graph.max_age) & (
+        (g.ii < t1 - aw) | (g.jj < t1 - aw)
+    )
+    g.rm_factors(stale, store=True)
+    g._candidate_distances = lambda *a, **k: d_syn.copy()
+    g.add_proximity_factors(
+        t1 - src, max(t1 - wf, 0), rad=rad, nms=nms,
+        thresh=cfg.graph.frontend_thresh, remove=True,
+    )
+    g._flush()
+
+    # ---- device path
+    out = edge_transition(
+        jnp.asarray(pre["ii"]), jnp.asarray(pre["jj"]),
+        jnp.asarray(pre["age"]), jnp.asarray(pre["valid"]),
+        jnp.asarray(pre["ii_i"]), jnp.asarray(pre["jj_i"]),
+        jnp.asarray(pre["i_valid"]),
+        jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+        jnp.zeros(4, bool),
+        jnp.asarray(d_syn, jnp.float32),
+        jnp.asarray(t1, jnp.int32),
+        cfg.graph.frontend_thresh,
+        src=src, wf=wf, n_skip=n_skip, skip_offsets=skip, rad=rad, nms=nms,
+        max_factors=cfg.graph.max_factors, max_age=cfg.graph.max_age,
+        active_window=aw, visual_only=True, max_out=160,
+    )
+
+    n = int(np.sum(np.asarray(out["valid"])))
+    assert n == g.n, (n, g.n)
+    np.testing.assert_array_equal(np.asarray(out["ii"])[:n], g.ii)
+    np.testing.assert_array_equal(np.asarray(out["jj"])[:n], g.jj)
+    np.testing.assert_array_equal(np.asarray(out["age"])[:n], g.age)
+    ni2 = int(np.sum(np.asarray(out["i_valid"])))
+    assert ni2 == len(g.ii_inac)
+    np.testing.assert_array_equal(np.asarray(out["ii_i"])[:ni2], g.ii_inac)
+    np.testing.assert_array_equal(np.asarray(out["jj_i"])[:ni2], g.jj_inac)
+
+    # rebuilt edge arrays must match the host _flush result
+    edges2 = _rebuild_edges(
+        pre_edges.net, pre_edges.target, pre_edges.weight,
+        out["perm"], out["is_new"],
+        jnp.asarray(out["ii"]), jnp.asarray(out["jj"]),
+        video.poses, video.disps, video.intrinsics,
+        video.nets.astype(jnp.bfloat16),
+    )
+    np.testing.assert_allclose(
+        np.asarray(edges2.target[:n], np.float32),
+        np.asarray(g.edges.target[:n], np.float32), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(edges2.net[:n], np.float32),
+        np.asarray(g.edges.net[:n], np.float32),
+    )
+    t2, w2 = _rebuild_inactive(
+        pre_tinac, pre_winac, out["inact_perm_old"],
+        out["inact_from_act"], out["inact_act_idx"],
+        jnp.asarray(pre_target_np), jnp.asarray(pre_weight_np),
+    )
+    np.testing.assert_allclose(
+        np.asarray(t2[:ni2], np.float32),
+        np.asarray(g.t_inac[:ni2], np.float32), atol=1e-6,
+    )
