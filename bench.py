@@ -40,6 +40,8 @@ def main():
     cfg.frontend.rollup_start = 40
     cfg.frontend.rollup_shift = 15
     cfg.frontend.keyframe_thresh = -1.0  # never cull
+    cfg.frontend.async_pipeline = True  # device-resident steps: the host
+    # streams frames back-to-back and drains packs with a 2-frame lag
     cfg.ba.window = 48  # covers rollup_start + margin
 
     model = DroidNet()
@@ -72,11 +74,18 @@ def main():
     n_warm, n_meas = 14, 20
     for k in range(n_warm):
         system.track(float(k), frame(k), intrinsics=intr)
+    if system._async is not None and system._async.active:
+        jax.block_until_ready(system._async.state["poses"])
 
     t0 = time.time()
     for k in range(n_warm, n_warm + n_meas):
         system.track(float(k), frame(k), intrinsics=intr)
-    jax.block_until_ready(system.video.poses)
+    if system._async is not None and system._async.active:
+        # wait for every dispatched step kernel (poses live in the carried
+        # async state, not the stale video reference)
+        jax.block_until_ready(system._async.state["poses"])
+    else:
+        jax.block_until_ready(system.video.poses)
     dt = time.time() - t0
 
     kfs = n_meas / dt

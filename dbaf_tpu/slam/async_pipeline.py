@@ -1,0 +1,369 @@
+"""Fully device-resident per-frame step: the async visual pipeline.
+
+The synchronous flow costs one host round trip per frame (~25 ms on the
+remote transport): the motion-gate scalar must reach the host before it
+can do edge bookkeeping and dispatch the update kernel.  This module
+fuses the WHOLE per-frame step -- feature extraction, motion gate,
+admission writes, edge-state transition (slam/edge_select.py), update
+rounds, and the next frame's proximity distances -- into ONE dispatch
+whose control decisions are all taken on device.  The host streams
+frames back-to-back and drains the small per-frame packs with a two
+-frame lag, so the transport latency overlaps device compute.
+
+Scope (v1): visual-only, cull-free configs (keyframe_thresh < 0, e.g.
+the throughput benchmark / max-rate odometry mode).  Keyframe culling
+re-indexes host-side stores and stays a synchronous event; rollup is
+handled by draining the pipeline, running the existing host rollup, and
+re-entering async mode.  The reference semantics of every step are
+unchanged -- the same selection, dedup, eviction, rounds, and seeding
+run, just on device (covisible_graph.py:357-441, dbaf_frontend.py:
+153-375).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import corr as corr_ops
+from ..ops import projective as pj
+from ..utils.config import DBAFusionConfig
+from .edge_select import edge_transition
+from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive, \
+    make_update_kernel
+
+
+def make_step_kernel(
+    cfg: DBAFusionConfig,
+    update_fn: Callable,
+    feat_fn: Callable,
+    ctx_fn: Callable,
+    e_cap: int,
+    i_cap: int,
+):
+    """One-dispatch per-frame step (gate + admit + transition + rounds)."""
+    mega_raw = make_update_kernel(cfg, update_fn, e_cap, i_cap).raw
+    gcfg = cfg.graph
+    wf = gcfg.frontend_window
+    src = 5
+    skip = tuple(gcfg.skip_edge) if wf == 5 else ()
+    n_skip = len(skip)
+    P = cfg.ba.window
+
+    def step(
+        image,                       # (1, H, W, 3) uint8 host frame
+        poses, disps, disps_sens, damping, intrinsics,
+        fmaps_buf, nets_buf, inps_buf,
+        e_net, e_target, e_weight,
+        ii, jj, age, e_valid,
+        t_inac, w_inac, ii_i, jj_i, i_valid,
+        bad_ii, bad_jj, bad_valid,
+        kf_fmap, kf_net, kf_inp,
+        t1, prox_d,
+        rounds_a, rounds_b,
+    ):
+        # ---- motion gate (motion_filter.py make_feat_gate body)
+        fmap_cur = feat_fn(image)[0]
+        H, W = kf_fmap.shape[0], kf_fmap.shape[1]
+        vol = corr_ops.build_volume_nhwc(
+            kf_fmap[None].astype(jnp.bfloat16),
+            fmap_cur[None].astype(jnp.bfloat16),
+        )
+        coords0 = pj.coords_grid(H, W)[None]
+        gate_corr = corr_ops.lookup_auto(vol, coords0).transpose(0, 2, 3, 1)
+        zero_motn = jnp.zeros((1, H, W, 4), dtype=kf_net.dtype)
+        z = jnp.zeros((1,), dtype=jnp.int32)
+        _, delta, _ = update_fn(
+            kf_net[None], kf_inp[None], gate_corr.astype(kf_net.dtype),
+            zero_motn, z, z, {},
+        )
+        delta_mag = jnp.mean(jnp.linalg.norm(delta[0], axis=-1))
+        thresh = cfg.frontend.filter_thresh
+        admitted = (delta_mag > thresh) if thresh >= 0 else jnp.asarray(True)
+        adm_f = admitted.astype(jnp.float32)
+
+        # ---- admission writes (motion_filter.py admit)
+        net0, inp0 = ctx_fn(image)
+        idx = jnp.clip(t1, 0, fmaps_buf.shape[0] - 1)
+        a4 = admitted
+        fmaps_buf = jnp.where(
+            a4, fmaps_buf.at[idx].set(fmap_cur.astype(fmaps_buf.dtype)),
+            fmaps_buf,
+        )
+        nets_buf = jnp.where(
+            a4, nets_buf.at[idx].set(net0[0].astype(nets_buf.dtype)), nets_buf
+        )
+        inps_buf = jnp.where(
+            a4, inps_buf.at[idx].set(inp0[0].astype(inps_buf.dtype)), inps_buf
+        )
+        kf_fmap = jnp.where(a4, fmap_cur, kf_fmap)
+        kf_net = jnp.where(a4, net0[0].astype(kf_net.dtype), kf_net)
+        kf_inp = jnp.where(a4, inp0[0].astype(kf_inp.dtype), kf_inp)
+        t1n = t1 + admitted.astype(jnp.int32)
+
+        # ---- edge transition (gated: identity when not admitted)
+        tr = edge_transition(
+            ii, jj, age, e_valid, ii_i, jj_i, i_valid,
+            bad_ii, bad_jj, bad_valid,
+            prox_d, t1n, gcfg.frontend_thresh,
+            src=src, wf=wf, n_skip=n_skip, skip_offsets=skip,
+            rad=gcfg.frontend_radius, nms=gcfg.frontend_nms,
+            max_factors=gcfg.max_factors, max_age=gcfg.max_age,
+            active_window=cfg.frontend.active_window,
+            visual_only=True, max_out=4 * (gcfg.max_factors + 60),
+        )
+        E = ii.shape[0]
+        I = ii_i.shape[0]
+        idE = jnp.arange(E, dtype=jnp.int32)
+        idI = jnp.arange(I, dtype=jnp.int32)
+        sel = lambda new, old: jnp.where(admitted, new, old)
+        ii2 = sel(tr["ii"], ii)
+        jj2 = sel(tr["jj"], jj)
+        age2 = sel(tr["age"], age)
+        e_valid2 = sel(tr["valid"], e_valid)
+        perm = sel(tr["perm"], idE)
+        is_new = sel(tr["is_new"], jnp.zeros((E,), bool))
+        ii_i2 = sel(tr["ii_i"], ii_i)
+        jj_i2 = sel(tr["jj_i"], jj_i)
+        i_valid2 = sel(tr["i_valid"], i_valid)
+        ip_old = sel(tr["inact_perm_old"], idI)
+        ip_act = sel(tr["inact_from_act"], jnp.zeros((I,), bool))
+        ip_idx = sel(tr["inact_act_idx"], jnp.zeros((I,), jnp.int32))
+
+        t_inac, w_inac = _rebuild_inactive(
+            t_inac, w_inac, ip_old, ip_act, ip_idx, e_target, e_weight
+        )
+        edges = _rebuild_edges(
+            e_net, e_target, e_weight, perm, is_new, ii2, jj2,
+            poses, disps, intrinsics, nets_buf.astype(jnp.bfloat16),
+        )
+
+        # ---- update rounds (the mega body, 0 rounds when not admitted)
+        big = jnp.int32(10**6)
+        t0r = jnp.maximum(
+            1, jnp.min(jnp.where(e_valid2, ii2, big)).astype(jnp.int32) + 1
+        )
+        s0 = jnp.maximum(0, t1n - P)
+        ra = jnp.where(admitted, rounds_a, 0).astype(jnp.int32)
+        rb = jnp.where(admitted, rounds_b, 0).astype(jnp.int32)
+
+        res, traj_row = mega_raw(
+            poses, disps, disps_sens, damping, intrinsics,
+            fmaps_buf, inps_buf, None,
+            edges.net, edges.target, edges.weight,
+            ii2, jj2, e_valid2,
+            t_inac, w_inac, ii_i2, jj_i2, i_valid2,
+            t0r, t1n, s0,
+            jnp.asarray(False),
+            {},
+            ra, rb,
+            iters=cfg.ba.iters, use_inactive=True, do_ba=True,
+            use_sens=False, seed_next=False, mega=True,
+        )
+
+        # ages advance by the executed rounds (graph.update/finish_mega)
+        age3 = jnp.where(e_valid2, age2 + ra + rb, age2)
+
+        # pack: [admitted, delta, cull_flag, d_cull, traj(7), prox...]
+        pack = jnp.concatenate([
+            jnp.asarray([adm_f, delta_mag]),
+            res.host_pack[:2],
+            traj_row.astype(jnp.float32),
+            res.host_pack[2:],
+        ])
+        prox_next = res.host_pack[2:]
+
+        state = dict(
+            poses=res.poses, disps=res.disps, disps_sens=disps_sens,
+            damping=damping, intrinsics=intrinsics,
+            fmaps_buf=fmaps_buf, nets_buf=nets_buf, inps_buf=inps_buf,
+            e_net=res.edges.net, e_target=res.edges.target,
+            e_weight=res.edges.weight,
+            ii=ii2, jj=jj2, age=age3, e_valid=e_valid2,
+            t_inac=t_inac, w_inac=w_inac, ii_i=ii_i2, jj_i=jj_i2,
+            i_valid=i_valid2,
+            bad_ii=bad_ii, bad_jj=bad_jj, bad_valid=bad_valid,
+            kf_fmap=kf_fmap, kf_net=kf_net, kf_inp=kf_inp,
+            t1=t1n, prox_d=prox_next,
+        )
+        return state, pack
+
+    # donate the carried state (args 1..31 except image/scalars)
+    return jax.jit(step, donate_argnums=tuple(range(1, 27)))
+
+
+_STATE_KEYS = (
+    "poses", "disps", "disps_sens", "damping", "intrinsics",
+    "fmaps_buf", "nets_buf", "inps_buf",
+    "e_net", "e_target", "e_weight",
+    "ii", "jj", "age", "e_valid",
+    "t_inac", "w_inac", "ii_i", "jj_i", "i_valid",
+    "bad_ii", "bad_jj", "bad_valid",
+    "kf_fmap", "kf_net", "kf_inp",
+    "t1", "prox_d",
+)
+
+
+class AsyncPipeline:
+    """Streams frames through the step kernel with a lagged pack drain."""
+
+    def __init__(self, system, lag: int = 2):
+        self.sys = system
+        self.cfg = system.cfg
+        self.lag = lag
+        self.kernel = None
+        self.state = None
+        self.queue: deque = deque()
+        self.t1_mirror = 0
+        self.active = False
+
+    # ------------------------------------------------------------------
+    def can_activate(self) -> bool:
+        fe = self.sys.frontend
+        cfg = self.cfg
+        return (
+            bool(getattr(cfg.frontend, "async_pipeline", False))
+            and fe.is_initialized
+            and fe.all_imu is None
+            and cfg.frontend.keyframe_thresh < 0
+            and not cfg.stereo
+            and not self.sys.video.has_depth
+            and fe.t1 >= max(cfg.graph.frontend_window, 5)
+        )
+
+    def activate(self):
+        """Enter async mode from a fully synchronized host state."""
+        sysm = self.sys
+        g, v, fe, flt = sysm.graph, sysm.video, sysm.frontend, sysm.filter
+        fe._resolve_pending()
+        g._flush()
+        if self.kernel is None:
+            self.kernel = make_step_kernel(
+                self.cfg, g.update_fn, flt.feat, flt.ctx, g.e_cap, g.i_cap,
+            )
+
+        E, I = g.e_cap, g.i_cap
+        pad = lambda a, n, cap: np.concatenate(
+            [np.asarray(a, np.int32), np.zeros(cap - n, np.int32)]
+        )
+        pre = np.zeros
+        prox = g._host_pack_dev
+        off = g._prox_offset
+        bc = 64
+        nb = min(len(g.ii_bad), bc)
+        self.state = dict(
+            poses=v.poses, disps=v.disps, disps_sens=v.disps_sens,
+            damping=v.damping, intrinsics=v.intrinsics,
+            fmaps_buf=v.fmaps, nets_buf=v.nets, inps_buf=v.inps,
+            e_net=g.edges.net, e_target=g.edges.target,
+            e_weight=g.edges.weight,
+            ii=jnp.asarray(pad(g.ii, g.n, E)),
+            jj=jnp.asarray(pad(g.jj, g.n, E)),
+            age=jnp.asarray(pad(g.age, g.n, E)),
+            e_valid=jnp.asarray(np.arange(E) < g.n),
+            t_inac=g.t_inac, w_inac=g.w_inac,
+            ii_i=jnp.asarray(pad(g.ii_inac, len(g.ii_inac), I)),
+            jj_i=jnp.asarray(pad(g.jj_inac, len(g.jj_inac), I)),
+            i_valid=jnp.asarray(np.arange(I) < len(g.ii_inac)),
+            bad_ii=jnp.asarray(pad(g.ii_bad[:nb], nb, bc)),
+            bad_jj=jnp.asarray(pad(g.jj_bad[:nb], nb, bc)),
+            bad_valid=jnp.asarray(np.arange(bc) < nb),
+            kf_fmap=flt._kf_fmap, kf_net=flt._kf_net, kf_inp=flt._kf_inp,
+            t1=jnp.asarray(fe.t1, jnp.int32),
+            prox_d=prox[off:].astype(jnp.float32),
+        )
+        self.t1_mirror = fe.t1
+        self.queue.clear()
+        self.active = True
+
+    # ------------------------------------------------------------------
+    def track(self, tstamp: float, image: np.ndarray):
+        img = jnp.asarray(np.asarray(image, dtype=np.uint8))[None]
+        st = self.state
+        args = [st[k] for k in _STATE_KEYS]
+        state, pack = self.kernel(
+            img, *args,
+            jnp.asarray(self.cfg.frontend.iters1, jnp.int32),
+            jnp.asarray(self.cfg.frontend.iters2, jnp.int32),
+        )
+        self.state = state
+        small = np.asarray(image[::8, ::8]).astype(np.uint8)
+        self.queue.append((tstamp, small, pack))
+        if len(self.queue) > self.lag:
+            self._drain_one()
+        # rollup check on the lagged mirror (2-frame slack is covered by
+        # the buffer headroom; see frontend rollup_start vs ba.window)
+        if self.t1_mirror > self.cfg.frontend.rollup_start:
+            self.sync()
+            self._host_rollup()
+            self.activate()
+
+    def _drain_one(self):
+        tstamp, small, pack_dev = self.queue.popleft()
+        pack = np.asarray(pack_dev)
+        admitted = pack[0] > 0.5
+        if admitted:
+            idx = self.t1_mirror
+            v = self.sys.video
+            if idx < len(v.tstamp):
+                v.tstamp[idx] = tstamp
+                v.images_small[idx] = small
+            self.t1_mirror += 1
+            self.sys.frontend.trajectory.append((tstamp, pack[4:11]))
+            self.sys.video.counter = self.t1_mirror
+
+    # ------------------------------------------------------------------
+    def sync(self):
+        """Drain everything and write the device edge state back into the
+        host mirrors so the synchronous machinery can resume."""
+        while self.queue:
+            self._drain_one()
+        st = self.state
+        g, v, fe, flt = (
+            self.sys.graph, self.sys.video, self.sys.frontend,
+            self.sys.filter,
+        )
+        n = int(np.sum(np.asarray(st["e_valid"])))
+        ni = int(np.sum(np.asarray(st["i_valid"])))
+        g.ii = np.asarray(st["ii"])[:n].astype(np.int64)
+        g.jj = np.asarray(st["jj"])[:n].astype(np.int64)
+        g.age = np.asarray(st["age"])[:n].astype(np.int64)
+        g.ii_inac = np.asarray(st["ii_i"])[:ni].astype(np.int64)
+        g.jj_inac = np.asarray(st["jj_i"])[:ni].astype(np.int64)
+        g.edges = EdgeArrays(st["e_net"], st["e_target"], st["e_weight"])
+        g.t_inac, g.w_inac = st["t_inac"], st["w_inac"]
+        g._perm = np.arange(g.e_cap, dtype=np.int32)
+        g._is_new = np.zeros(g.e_cap, dtype=bool)
+        g._dirty = False
+        g._host_pack_dev = jnp.concatenate(
+            [jnp.asarray([0.0, 0.0]), st["prox_d"]]
+        )
+        g._host_pack_np = None
+        g._prox_offset = 2
+        g._host_pack_t1 = int(st["t1"])
+        v.poses, v.disps = st["poses"], st["disps"]
+        v.disps_sens, v.damping = st["disps_sens"], st["damping"]
+        v.intrinsics = st["intrinsics"]
+        v.fmaps, v.nets, v.inps = (
+            st["fmaps_buf"], st["nets_buf"], st["inps_buf"],
+        )
+        v.counter = int(st["t1"])
+        fe.t1 = int(st["t1"])
+        flt._kf_fmap = st["kf_fmap"]
+        flt._kf_net = st["kf_net"]
+        flt._kf_inp = st["kf_inp"]
+        self.t1_mirror = fe.t1
+        self.active = False
+
+    def _host_rollup(self):
+        fe, v, g = self.sys.frontend, self.sys.video, self.sys.graph
+        roll = self.cfg.frontend.rollup_shift
+        v.rollup(roll)
+        g.shift_indices(roll)
+        fe.t1 -= roll
+        fe.count -= roll
+        self.t1_mirror = fe.t1

@@ -421,6 +421,7 @@ class CovisibleGraph:
     ):
         self.video = video
         self.cfg = cfg
+        self.update_fn = update_fn  # for the async step kernel
         self.e_cap = cfg.graph.edge_capacity
         self.i_cap = cfg.graph.inactive_capacity
         h8, w8 = video.h8, video.w8
@@ -501,8 +502,9 @@ class CovisibleGraph:
             and self.n + len(ii_new) > budget
             and self.n > 0
         ):
-            # evict oldest (largest-age) edges beyond the budget
-            order = np.argsort(self.age)  # ascending: rank 0 = newest
+            # evict oldest (largest-age) edges beyond the budget; stable
+            # tie-break by slot so the device transition replays identically
+            order = np.argsort(self.age, kind="stable")  # rank 0 = newest
             ranks = np.empty(self.n, dtype=np.int64)
             ranks[order] = np.arange(self.n)
             mask = ranks >= max(budget - len(ii_new), 0)

@@ -90,6 +90,11 @@ class DBAFusion:
         self.frontend = Frontend(self.video, self.graph, cfg)
         # the motion-gate pull carries deferred update-kernel scalars
         self.filter.frontend = self.frontend
+        self._async = None
+        if getattr(cfg.frontend, "async_pipeline", False):
+            from .async_pipeline import AsyncPipeline
+
+            self._async = AsyncPipeline(self)
 
     def set_multisensor(
         self,
@@ -136,6 +141,14 @@ class DBAFusion:
         image_right: Optional[np.ndarray] = None,
     ):
         """Feed one frame (dbaf.py:50-58)."""
+        if self._async is not None:
+            if self._async.active:
+                self._async.track(tstamp, image)
+                return
+            if self._async.can_activate():
+                self._async.activate()
+                self._async.track(tstamp, image)
+                return
         self.filter.track(tstamp, image, depth, intrinsics, image_right)
         self.frontend()
 
@@ -239,6 +252,8 @@ class DBAFusion:
         one batched transfer here."""
         import jax.numpy as jnp
 
+        if self._async is not None and self._async.active:
+            self._async.sync()
         self.frontend._resolve_pending()
         traj = self.frontend.trajectory
         if not traj:
