@@ -177,6 +177,13 @@ def make_mm():
 
 def main():
     want = sys.argv[1:] or ["io", "tables", "s1", "s2", "full"]
+    mm_names = [w for w in want if w.startswith("mm_")]
+    if mm_names:
+        print("backend:", jax.default_backend(), flush=True)
+        run_mm_variants(mm_names)
+        want = [w for w in want if not w.startswith("mm_")]
+        if not want:
+            return
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend(), flush=True)
 
@@ -218,3 +225,80 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_mm_variant(which):
+    """Controlled variants of the stage-dot shapes to find the util limiter.
+
+    mm_bf16 : accumulate/output bf16 (halves VMEM traffic of tmp)
+    mm_m256 : M doubled per batch item (G=16, M=256) - fewer, taller dots
+    mm_n128 : N=128 (two W2 blocks fused) - full lanes
+    mm_k384 : K doubled (G=16, K=384) - g8-like stage-1 shape
+    mm_flat : ONE unbatched dot (M=4096, K=192, N=64) per cell
+    """
+    G_, M_, K_, N_ = 32, 128, 192, 64
+    if which == "mm_m256":
+        G_, M_ = 16, 256
+    if which == "mm_k384":
+        G_, K_ = 16, 384
+    if which == "mm_n128":
+        N_ = 128
+    if which == "mm_flat":
+        G_, M_ = 1, 4096
+    out_dt = jnp.bfloat16
+    acc_dt = jnp.bfloat16 if which == "mm_bf16" else jnp.float32
+
+    def kern(a_ref, b_ref, out_ref):
+        a = a_ref[0]
+        b = b_ref[0]
+        if which == "mm_flat":
+            out = jax.lax.dot_general(
+                a[0], b[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )[None]
+        else:
+            out = jax.lax.dot_general(
+                a, b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=acc_dt,
+            )
+        out_ref[0] = out.astype(out_dt)
+
+    n_tiles = P // TILE
+
+    @jax.jit
+    def run(a, b):
+        return pl.pallas_call(
+            kern,
+            grid=(E, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, G_, M_, K_), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G_, K_, N_), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G_, M_, N_), lambda e, t: (e, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E, G_, M_, N_), out_dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(a, b)
+
+    flops = 2 * E * n_tiles * G_ * M_ * K_ * N_
+    return run, (G_, M_, K_, N_), flops
+
+
+def run_mm_variants(names):
+    rng = np.random.default_rng(0)
+    for which in names:
+        run, (G_, M_, K_, N_), flops = make_mm_variant(which)
+        a = jnp.asarray(rng.standard_normal((E, G_, M_, K_)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((E, G_, K_, N_)), jnp.bfloat16)
+
+        def step(x, run=run, b=b):
+            out = run(x, b)
+            return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+
+        t = slope(which, step, a)
+        print(f"    -> {flops / t / 1e12:.1f} TFLOP/s "
+              f"(G={G_} M={M_} K={K_} N={N_})", flush=True)
