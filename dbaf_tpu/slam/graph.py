@@ -146,13 +146,16 @@ def make_update_kernel(
             f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
         grp = cfg.graph.corr_group
         pix = f1.shape[1] * f1.shape[2]
+        corr_tile = max(128, 16 * grp)
+        if pix % corr_tile:
+            grp, corr_tile = 8, 128  # small-frame fallback packing
         blk_corr = (
             jax.default_backend() == "tpu"
-            and pix % 128 == 0 and 128 % grp == 0
+            and pix % corr_tile == 0 and corr_tile % grp == 0
         )
         if blk_corr:
             from ..ops.corr_pallas import (
-                corr_fused_blk_prepared, prepare_corr_fmaps,
+                corr_fused_xy_prepared, prepare_corr_fmaps,
             )
 
             f1p, f2h = prepare_corr_fmaps(f1, f2)
@@ -174,8 +177,8 @@ def make_update_kernel(
             # ---- multi-scale correlation lookup, fused over levels
             # (fused build+lookup Pallas kernel on TPU, channels-last)
             if blk_corr:
-                corr = corr_fused_blk_prepared(
-                    f1p, f2h, coords1, radius, group=grp,
+                corr = corr_fused_xy_prepared(
+                    f1p, f2h, coords1, radius, tile=corr_tile, group=grp,
                 )
             else:
                 corr = corr_ops.lookup_auto(vol, coords1, radius)

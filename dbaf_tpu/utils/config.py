@@ -25,8 +25,8 @@ class GraphConfig:
     # covisible_graph.py:117-122), so padding beyond it only inflates every
     # per-edge kernel.  Init-time proximity adds (remove=False) truncate.
     inactive_capacity: int = 64      # static padded inactive-edge store
-    corr_group: int = 8              # blockdiag pixel packing of the fused
-    # Pallas correlation kernel (bigger fills the MXU better)
+    corr_group: int = 16             # blockdiag pixel packing of the fused
+    # Pallas correlation kernel (x-first variant; 16 fastest measured)
     frontend_window: int = 5         # proximity window (demo:98)
     frontend_radius: int = 2         # forced radius edges (demo:99)
     frontend_nms: int = 1            # NMS suppression radius (demo:100)

@@ -143,6 +143,14 @@ def test_corr_fused_pallas_matches_xla(rng):
     out3 = np.asarray(corr_fused_blk_pallas(f1, f2, coords, interpret=True))
     np.testing.assert_allclose(out3, ref, atol=2e-2)
 
+    # v5: x-first order (the production hot-path kernel)
+    from dbaf_tpu.ops.corr_pallas import corr_fused_xy_pallas
+
+    out5 = np.asarray(
+        corr_fused_xy_pallas(f1, f2, coords, group=8, interpret=True)
+    )
+    np.testing.assert_allclose(out5, ref, atol=2e-2)
+
 
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""

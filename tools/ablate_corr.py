@@ -178,10 +178,16 @@ def make_mm():
 def main():
     want = sys.argv[1:] or ["io", "tables", "s1", "s2", "full"]
     mm_names = [w for w in want if w.startswith("mm_")]
-    if mm_names:
+    st_names = [w for w in want if w.startswith(("s2", "build"))]
+    if mm_names or st_names:
         print("backend:", jax.default_backend(), flush=True)
-        run_mm_variants(mm_names)
-        want = [w for w in want if not w.startswith("mm_")]
+        if mm_names:
+            run_mm_variants(mm_names)
+        if st_names:
+            run_stage_variants([n for n in st_names if n != "s1T"])
+            if "s1T" in st_names:
+                run_s1t(["s1T"])
+        want = [w for w in want if w not in mm_names + st_names]
         if not want:
             return
     rng = np.random.default_rng(0)
@@ -223,8 +229,6 @@ def main():
         slope(which, step, ym2)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def make_mm_variant(which):
@@ -302,3 +306,213 @@ def run_mm_variants(names):
         t = slope(which, step, a)
         print(f"    -> {flops / t / 1e12:.1f} TFLOP/s "
               f"(G={G_} M={M_} K={K_} N={N_})", flush=True)
+
+
+
+
+def run_stage_variants(names):
+    """Production-shape (E=48, tile=128, group=8) stage experiments.
+
+    s2loop   : current per-slot masked stage 2 (8 dots, N=32)
+    s2big    : ONE (G,256,64)x(G,256,64)->(G,256,256) dot (N=256, full
+               lanes) + mask-add diagonal extraction
+    build64  : 48 per-h dots (tile,C)x(C,64) + interleave concat
+    build128 : 24 paired-h dots (tile,C)x(C,128) + 32-aligned lane slices
+    """
+    E_, TILE_, G_ = 48, 128, 8
+    Gb = TILE_ // G_   # 16 batches
+    M_ = G_ * 32       # 256
+    rng = np.random.default_rng(0)
+
+    if any(n.startswith("s2") for n in names):
+        kx = jnp.asarray(rng.standard_normal((E_, Gb, M_, W2)), jnp.bfloat16)
+        tmp = jnp.asarray(rng.standard_normal((E_, Gb, M_, W2)), jnp.bfloat16)
+
+        def kern_loop(kx_ref, tmp_ref, out_ref):
+            kxv = kx_ref[0]
+            tmpv = tmp_ref[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (M_, 1), 0)
+            acc = None
+            for r in range(G_):
+                kx_r = kxv * (rows // 32 == r).astype(jnp.bfloat16)[None]
+                tmp_r = tmpv[:, 32 * r: 32 * (r + 1), :]
+                part = jax.lax.dot_general(
+                    kx_r, tmp_r, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            out_ref[0] = acc.astype(jnp.bfloat16)
+
+        def kern_big(kx_ref, tmp_ref, out_ref):
+            kxv = kx_ref[0]
+            tmpv = tmp_ref[0]
+            out2 = jax.lax.dot_general(
+                kxv, tmpv, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (Gb, M, M)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (M_, 1), 0)
+            acc = None
+            for r in range(G_):
+                part = out2[:, :, 32 * r: 32 * (r + 1)] * (
+                    rows // 32 == r
+                ).astype(jnp.float32)
+                acc = part if acc is None else acc + part
+            out_ref[0] = acc.astype(jnp.bfloat16)
+
+        for name, kern in (("s2loop", kern_loop), ("s2big", kern_big)):
+            if name not in names:
+                continue
+
+            @jax.jit
+            def run(a, b, kern=kern):
+                return pl.pallas_call(
+                    kern,
+                    grid=(E_, P // TILE_),
+                    in_specs=[
+                        pl.BlockSpec((1, Gb, M_, W2), lambda e, t: (e, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, Gb, M_, W2), lambda e, t: (e, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, Gb, M_, 32), lambda e, t: (e, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (E_, Gb, M_, 32), jnp.bfloat16
+                    ),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024,
+                    ),
+                )(a, b)
+
+            def step(x, run=run, b=tmp):
+                out = run(x, b)
+                return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+
+            slope(name, step, kx)
+
+    if any(n.startswith("build") for n in names):
+        f1 = jnp.asarray(rng.standard_normal((E_, P, C)), jnp.bfloat16)
+        f2h = jnp.asarray(rng.standard_normal((E_, H, C, W2)), jnp.bfloat16)
+        f2hp = jnp.asarray(
+            rng.standard_normal((E_, H // 2, C, 2 * W2)), jnp.bfloat16
+        )
+
+        def kern_b64(f1_ref, f2_ref, out_ref):
+            f1v = f1_ref[0]
+            pieces = []
+            for h in range(H):
+                vol_h = jax.lax.dot_general(
+                    f1v, f2_ref[0, h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pieces.append(
+                    vol_h.astype(jnp.bfloat16).reshape(Gb, G_, W2)
+                )
+            out_ref[0] = jnp.concatenate(pieces, axis=1)
+
+        def kern_b128(f1_ref, f2_ref, out_ref):
+            f1v = f1_ref[0]
+            pieces = []
+            for h2 in range(H // 2):
+                vol_h = jax.lax.dot_general(
+                    f1v, f2_ref[0, h2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # (tile, 2*W2)
+                pieces.append(vol_h[:, :W2].reshape(Gb, G_, W2))
+                pieces.append(vol_h[:, W2:].reshape(Gb, G_, W2))
+            out_ref[0] = jnp.concatenate(pieces, axis=1)
+
+        for name, kern, f2in in (
+            ("build64", kern_b64, f2h), ("build128", kern_b128, f2hp),
+        ):
+            if name not in names:
+                continue
+            hdim = f2in.shape[1]
+            wdim = f2in.shape[3]
+
+            @jax.jit
+            def run(a, b, kern=kern, hdim=hdim, wdim=wdim):
+                return pl.pallas_call(
+                    kern,
+                    grid=(E_, P // TILE_),
+                    in_specs=[
+                        pl.BlockSpec((1, TILE_, C), lambda e, t: (e, t, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (1, hdim, C, wdim), lambda e, t: (e, 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, Gb, H * G_, W2), lambda e, t: (e, t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (E_, P // TILE_ * Gb, H * G_, W2), jnp.bfloat16
+                    ),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024,
+                    ),
+                )(a, b)
+
+            def step(x, run=run, b=f2in):
+                out = run(x, b)
+                return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+
+            slope(name, step, f1)
+
+
+def run_s1t(names):
+    """Transposed stage-1 shape probe: (Gb,W2,K)x(Gb,K,M) -> (Gb,W2,M).
+
+    Same MACs as the current stage 1 but full 256-lane output; measures
+    whether the orientation lifts the ~45 TF/s N=64 ceiling (assembly
+    feasibility handled separately if it wins).
+    """
+    E_, TILE_, G_ = 48, 128, 8
+    Gb = TILE_ // G_
+    M_ = G_ * 32
+    K_ = G_ * H
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((E_, Gb, W2, K_)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((E_, Gb, K_, M_)), jnp.bfloat16)
+
+    def kern(a_ref, b_ref, out_ref):
+        out = jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = out.astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(a_, b_):
+        return pl.pallas_call(
+            kern,
+            grid=(E_, P // TILE_),
+            in_specs=[
+                pl.BlockSpec((1, Gb, W2, K_), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Gb, K_, M_), lambda e, t: (e, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Gb, W2, M_), lambda e, t: (e, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E_, Gb, W2, M_), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(a_, b_)
+
+    def step(x):
+        out = run(x, b)
+        return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+
+    t = slope("s1T", step, a)
+    flops = 2 * E_ * (P // TILE_) * Gb * W2 * K_ * M_
+    print(f"    -> {flops / t / 1e12:.1f} TFLOP/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
