@@ -10,14 +10,17 @@ whose control decisions are all taken on device.  The host streams
 frames back-to-back and drains the small per-frame packs with a two
 -frame lag, so the transport latency overlaps device compute.
 
-Scope (v1): visual-only, cull-free configs (keyframe_thresh < 0, e.g.
-the throughput benchmark / max-rate odometry mode).  Keyframe culling
-re-indexes host-side stores and stays a synchronous event; rollup is
-handled by draining the pipeline, running the existing host rollup, and
+Scope: visual-only configs.  Keyframe culls are handled in-kernel: the
+cull decided by one step's rounds resolves at the start of the NEXT
+step (a deferred `prev_cull` flag mirroring frontend._pending_t1), via
+a lax.cond branch that shifts the buffer rows, re-seeds, re-indexes
+both edge stores (edge_select.cull_transition), and recomputes the
+proximity distances on the shifted state.  Rollup is handled by
+draining the pipeline, running the existing host rollup, and
 re-entering async mode.  The reference semantics of every step are
-unchanged -- the same selection, dedup, eviction, rounds, and seeding
-run, just on device (covisible_graph.py:357-441, dbaf_frontend.py:
-153-375).
+unchanged -- the same admission, selection, dedup, eviction, cull,
+rounds, and seeding run, just on device (covisible_graph.py:180-211,
+357-441, dbaf_frontend.py:153-375).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ import numpy as np
 from ..ops import corr as corr_ops
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
-from .edge_select import edge_transition
+from .edge_select import cull_transition, edge_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive, \
     make_update_kernel
 
@@ -63,9 +66,95 @@ def make_step_kernel(
         t_inac, w_inac, ii_i, jj_i, i_valid,
         bad_ii, bad_jj, bad_valid,
         kf_fmap, kf_net, kf_inp,
-        t1, prox_d,
+        t1, prox_d, prev_cull,
         rounds_a, rounds_b,
     ):
+        # ---- deferred cull bookkeeping from the previous step
+        # (frontend.resolve_pending: rm_keyframe + seed + fresh distances).
+        # A cond, not a where: the identity branch must not pay the edge
+        # -store gathers (~tens of MB of net/target/weight) every frame.
+        B = poses.shape[0]
+
+        def _apply_cull(op):
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             e_net, e_target, e_weight, ii, jj, age, e_valid,
+             t_inac, w_inac, ii_i, jj_i, i_valid, t1, prox_d) = op
+            ixc = jnp.clip(t1 - 2, 0, B - 1)
+
+            def shift_row(buf):
+                row = jax.lax.dynamic_index_in_dim(
+                    buf, jnp.clip(ixc + 1, 0, B - 1), 0, keepdims=False
+                )
+                return jax.lax.dynamic_update_index_in_dim(buf, row, ixc, 0)
+
+            poses = shift_row(poses)
+            disps = shift_row(disps)
+            disps_sens = shift_row(disps_sens)
+            damping = shift_row(damping)
+            fmaps_buf = shift_row(fmaps_buf)
+            nets_buf = shift_row(nets_buf)
+            inps_buf = shift_row(inps_buf)
+            t1 = t1 - 1
+
+            # re-seed the now-free slot (video.seed_next)
+            slot = jnp.clip(t1, 0, B - 1)
+            poses = poses.at[slot].set(poses[slot - 1])
+            disps = disps.at[slot].set(jnp.mean(disps[slot - 1]))
+
+            ct = cull_transition(
+                ii, jj, age, e_valid, ii_i, jj_i, i_valid, ixc
+            )
+            edges0 = _rebuild_edges(
+                e_net, e_target, e_weight, ct["perm"],
+                jnp.zeros((ii.shape[0],), bool), ct["ii"], ct["jj"],
+                poses, disps, intrinsics, nets_buf.astype(jnp.bfloat16),
+            )
+            t_inac, w_inac = _rebuild_inactive(
+                t_inac, w_inac, ct["inact_perm_old"],
+                jnp.zeros((ii_i.shape[0],), bool),
+                jnp.zeros((ii_i.shape[0],), jnp.int32), e_target, e_weight,
+            )
+
+            # fresh proximity distances on the culled state (the carried
+            # pack was computed pre-shift; graph._candidate_distances
+            # falls back to video.distance the same way host-side)
+            t_next = t1 + 1
+            pi = jnp.repeat(
+                t_next - src + jnp.arange(src, dtype=jnp.int32), wf
+            )
+            pj_ = jnp.tile(
+                t_next - wf + jnp.arange(wf, dtype=jnp.int32), src
+            )
+            if n_skip:
+                sk = jnp.asarray(list(skip), jnp.int32)
+                pi = jnp.concatenate([pi, jnp.full((n_skip,), t_next - 1)])
+                pj_ = jnp.concatenate([pj_, t_next - src + sk])
+            prox_d = pj.frame_distance_bidirectional(
+                poses, disps, intrinsics,
+                jnp.clip(pi, 0, B - 1), jnp.clip(pj_, 0, B - 1),
+                beta=gcfg.beta,
+            )
+            return (
+                poses, disps, disps_sens, damping,
+                fmaps_buf, nets_buf, inps_buf,
+                edges0.net, edges0.target, edges0.weight,
+                ct["ii"], ct["jj"], ct["age"], ct["valid"],
+                t_inac, w_inac, ct["ii_i"], ct["jj_i"], ct["i_valid"],
+                t1, prox_d,
+            )
+
+        (poses, disps, disps_sens, damping,
+         fmaps_buf, nets_buf, inps_buf,
+         e_net, e_target, e_weight, ii, jj, age, e_valid,
+         t_inac, w_inac, ii_i, jj_i, i_valid, t1, prox_d) = jax.lax.cond(
+            prev_cull, _apply_cull, lambda op: op,
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             e_net, e_target, e_weight, ii, jj, age, e_valid,
+             t_inac, w_inac, ii_i, jj_i, i_valid, t1, prox_d),
+        )
+
         # ---- motion gate (motion_filter.py make_feat_gate body)
         fmap_cur = feat_fn(image)[0]
         H, W = kf_fmap.shape[0], kf_fmap.shape[1]
@@ -165,8 +254,11 @@ def make_step_kernel(
             use_sens=False, seed_next=False, mega=True,
         )
 
-        # ages advance by the executed rounds (graph.update/finish_mega)
-        age3 = jnp.where(e_valid2, age2 + ra + rb, age2)
+        # ages advance by the executed rounds; on a cull the mega body
+        # gates rounds_b off, so they don't count (graph.finish_mega)
+        cull = res.host_pack[0] > 0.5
+        rb_run = jnp.where(cull, 0, rb)
+        age3 = jnp.where(e_valid2, age2 + ra + rb_run, age2)
 
         # pack: [admitted, delta, cull_flag, d_cull, traj(7), prox...]
         pack = jnp.concatenate([
@@ -189,6 +281,10 @@ def make_step_kernel(
             bad_ii=bad_ii, bad_jj=bad_jj, bad_valid=bad_valid,
             kf_fmap=kf_fmap, kf_net=kf_net, kf_inp=kf_inp,
             t1=t1n, prox_d=prox_next,
+            # the cull decided by this step's rounds resolves at the START
+            # of the next step (mirrors frontend._pending_t1); zero rounds
+            # (non-admitted) leave d_cull at +inf so the flag stays False
+            prev_cull=cull,
         )
         return state, pack
 
@@ -204,7 +300,7 @@ _STATE_KEYS = (
     "t_inac", "w_inac", "ii_i", "jj_i", "i_valid",
     "bad_ii", "bad_jj", "bad_valid",
     "kf_fmap", "kf_net", "kf_inp",
-    "t1", "prox_d",
+    "t1", "prox_d", "prev_cull",
 )
 
 
@@ -229,7 +325,6 @@ class AsyncPipeline:
             bool(getattr(cfg.frontend, "async_pipeline", False))
             and fe.is_initialized
             and fe.all_imu is None
-            and cfg.frontend.keyframe_thresh < 0
             and not cfg.stereo
             and not self.sys.video.has_depth
             and fe.t1 >= max(cfg.graph.frontend_window, 5)
@@ -275,6 +370,7 @@ class AsyncPipeline:
             kf_fmap=flt._kf_fmap, kf_net=flt._kf_net, kf_inp=flt._kf_inp,
             t1=jnp.asarray(fe.t1, jnp.int32),
             prox_d=prox[off:].astype(jnp.float32),
+            prev_cull=jnp.asarray(False),  # _resolve_pending ran above
         )
         self.t1_mirror = fe.t1
         self.queue.clear()
@@ -306,15 +402,24 @@ class AsyncPipeline:
         tstamp, small, pack_dev = self.queue.popleft()
         pack = np.asarray(pack_dev)
         admitted = pack[0] > 0.5
+        v = self.sys.video
         if admitted:
             idx = self.t1_mirror
-            v = self.sys.video
             if idx < len(v.tstamp):
                 v.tstamp[idx] = tstamp
                 v.images_small[idx] = small
             self.t1_mirror += 1
             self.sys.frontend.trajectory.append((tstamp, pack[4:11]))
-            self.sys.video.counter = self.t1_mirror
+        if pack[2] > 0.5:
+            # this step decided to cull keyframe t1-2; mirror the host
+            # tstamp/image shift (video.rm_keyframe) so later admissions
+            # land in the right slots.  The device applies the same shift
+            # at the start of its NEXT step (prev_cull).
+            ix = self.t1_mirror - 2
+            v.tstamp[ix] = v.tstamp[ix + 1]
+            v.images_small[ix] = v.images_small[ix + 1]
+            self.t1_mirror -= 1
+        self.sys.video.counter = self.t1_mirror
 
     # ------------------------------------------------------------------
     def sync(self):
@@ -356,6 +461,16 @@ class AsyncPipeline:
         flt._kf_fmap = st["kf_fmap"]
         flt._kf_net = st["kf_net"]
         flt._kf_inp = st["kf_inp"]
+        if bool(np.asarray(st["prev_cull"])):
+            # the last step's cull never reached the device (it would have
+            # resolved at the start of the next step): finish it host-side,
+            # exactly frontend.resolve_pending.  The drain already applied
+            # the tstamp/image shift; video.rm_keyframe's re-write of the
+            # same two rows is idempotent.
+            g.rm_keyframe(fe.t1 - 2)
+            fe.t1 -= 1
+            v.seed_next(fe.t1)
+            g._host_pack_t1 = -(10 ** 6)  # prox pack is pre-shift: invalid
         self.t1_mirror = fe.t1
         self.active = False
 

@@ -380,3 +380,55 @@ def edge_transition(
         inact_perm_old=perm_old, inact_from_act=from_act,
         inact_act_idx=act_idx,
     )
+
+
+@jax.jit
+def cull_transition(ii, jj, age, e_valid, ii_i, jj_i, i_valid, ix):
+    """Edge re-indexing for a culled keyframe (graph.rm_keyframe).
+
+    Drops edges touching slot ``ix`` (no retirement), decrements indices
+    above it, and compacts both stores order-preservingly.  Returns the
+    new index state plus gather plans (perm for _rebuild_edges with
+    is_new=False everywhere; perm_old for _rebuild_inactive with no
+    active-sourced rows).
+    """
+    i32 = jnp.int32
+    E = ii.shape[0]
+    I = ii_i.shape[0]
+    ix = ix.astype(i32)
+
+    drop = ((ii == ix) | (jj == ix)) & e_valid
+    keep = e_valid & ~drop
+    ii2 = jnp.where(ii >= ix, ii - 1, ii)
+    jj2 = jnp.where(jj >= ix, jj - 1, jj)
+    pos, n_keep = _stable_compact(keep)
+    tgt = jnp.where(keep, pos, E + 1)
+    out_ii = jnp.zeros((E,), i32).at[tgt].set(ii2.astype(i32), mode="drop")
+    out_jj = jnp.zeros((E,), i32).at[tgt].set(jj2.astype(i32), mode="drop")
+    out_age = jnp.zeros((E,), i32).at[tgt].set(age.astype(i32), mode="drop")
+    perm = jnp.zeros((E,), i32).at[tgt].set(
+        jnp.arange(E, dtype=i32), mode="drop"
+    )
+    valid2 = jnp.arange(E, dtype=i32) < n_keep
+
+    drop_i = ((ii_i == ix) | (jj_i == ix)) & i_valid
+    keep_i = i_valid & ~drop_i
+    ii_i2 = jnp.where(ii_i >= ix, ii_i - 1, ii_i)
+    jj_i2 = jnp.where(jj_i >= ix, jj_i - 1, jj_i)
+    pos_i, n_ki = _stable_compact(keep_i)
+    tgt_i = jnp.where(keep_i, pos_i, I + 1)
+    o_ii_i = jnp.zeros((I,), i32).at[tgt_i].set(
+        ii_i2.astype(i32), mode="drop"
+    )
+    o_jj_i = jnp.zeros((I,), i32).at[tgt_i].set(
+        jj_i2.astype(i32), mode="drop"
+    )
+    perm_old = jnp.zeros((I,), i32).at[tgt_i].set(
+        jnp.arange(I, dtype=i32), mode="drop"
+    )
+    i_valid2 = jnp.arange(I, dtype=i32) < n_ki
+
+    return dict(
+        ii=out_ii, jj=out_jj, age=out_age, valid=valid2, perm=perm,
+        ii_i=o_ii_i, jj_i=o_jj_i, i_valid=i_valid2, inact_perm_old=perm_old,
+    )

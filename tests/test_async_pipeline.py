@@ -35,12 +35,17 @@ def plane_disparity(pose_cw, intr, z0=3.0):
     return (1.0 / np.clip(z, 0.5, 50.0)).astype(np.float32)
 
 
-def make_scene(n, intr):
+def make_scene(n, intr, slow=()):
+    """Camera path with unit-speed frames; frames in ``slow`` advance by
+    2% of a step (near-duplicates -> keyframe-cull candidates)."""
     poses, disps = [], []
+    s = 0.0
     for k in range(n):
-        a = 0.04 * k
+        if k:
+            s += 0.02 if k in slow else 1.0
+        a = 0.04 * s
         xi = np.array([
-            0.08 * k, 0.05 * np.sin(3 * a), 0.02 * k,
+            0.08 * s, 0.05 * np.sin(3 * a), 0.02 * s,
             0.02 * np.sin(2 * a), 0.03 * np.cos(a), 0.01 * a,
         ])
         Twc = np.asarray(lie.se3_exp(jnp.asarray(xi, dtype=jnp.float64)))
@@ -78,7 +83,7 @@ def make_fns(gt_poses, gt_disps, intr, buffer):
     return feat_fn, ctx_fn, update_fn
 
 
-def make_cfg(async_on):
+def make_cfg(async_on, keyframe_thresh=-1.0):
     return DBAFusionConfig(
         image_size=(8 * H8, 8 * W8),
         buffer=24,
@@ -89,7 +94,7 @@ def make_cfg(async_on):
             far_threshold=-1.0, mask_threshold=-1.0,
         ),
         frontend=FrontendConfig(
-            warmup=8, keyframe_thresh=-1.0, filter_thresh=-1.0,
+            warmup=8, keyframe_thresh=keyframe_thresh, filter_thresh=-1.0,
             iters1=2, iters2=1, init_iters=4,
             rollup_start=1000, rollup_shift=8, active_window=12,
             async_pipeline=async_on,
@@ -98,10 +103,10 @@ def make_cfg(async_on):
     )
 
 
-def run(async_on, n_frames=16):
+def run(async_on, n_frames=16, keyframe_thresh=-1.0, slow=()):
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], np.float32)
-    gt_poses, gt_disps = make_scene(n_frames, intr)
-    cfg = make_cfg(async_on)
+    gt_poses, gt_disps = make_scene(n_frames, intr, slow=slow)
+    cfg = make_cfg(async_on, keyframe_thresh)
     feat_fn, ctx_fn, update_fn = make_fns(gt_poses, gt_disps, intr, cfg.buffer)
     sysm = DBAFusion(
         cfg, feat_fn=feat_fn, ctx_fn=ctx_fn, update_fn=update_fn
@@ -122,17 +127,36 @@ def run(async_on, n_frames=16):
     t1 = sysm.frontend.t1
     poses = np.asarray(sysm.video.poses[:t1])
     g = sysm.graph
-    return poses, np.asarray(g.ii), np.asarray(g.jj), np.asarray(g.age)
+    return (
+        poses, np.asarray(g.ii), np.asarray(g.jj), np.asarray(g.age),
+        t1, np.asarray(sysm.video.tstamp[:t1]),
+    )
 
 
 def test_async_matches_sync():
-    p_sync, ii_s, jj_s, age_s = run(False)
-    p_async, ii_a, jj_a, age_a = run(True)
+    p_sync, ii_s, jj_s, age_s, t1_s, ts_s = run(False)
+    p_async, ii_a, jj_a, age_a, t1_a, ts_a = run(True)
     assert p_sync.shape == p_async.shape
     np.testing.assert_array_equal(ii_a, ii_s)
     np.testing.assert_array_equal(jj_a, jj_s)
     np.testing.assert_array_equal(age_a, age_s)
     np.testing.assert_allclose(p_async, p_sync, atol=1e-4)
+
+
+def test_async_matches_sync_with_culls():
+    """Keyframe culls (keyframe_thresh >= 0) run in-kernel on the async
+    path (deferred prev_cull); the result must bit-match the synchronous
+    rm_keyframe flow -- t1, keyframe timestamps, edge stores, poses."""
+    kw = dict(n_frames=18, keyframe_thresh=0.12, slow=(10, 11, 14))
+    p_s, ii_s, jj_s, age_s, t1_s, ts_s = run(False, **kw)
+    p_a, ii_a, jj_a, age_a, t1_a, ts_a = run(True, **kw)
+    assert t1_s < 18, "scene produced no culls; test is vacuous"
+    assert t1_a == t1_s
+    np.testing.assert_array_equal(ts_a, ts_s)
+    np.testing.assert_array_equal(ii_a, ii_s)
+    np.testing.assert_array_equal(jj_a, jj_s)
+    np.testing.assert_array_equal(age_a, age_s)
+    np.testing.assert_allclose(p_a, p_s, atol=1e-4)
 
 
 def test_async_rollup_drain_reenter():
