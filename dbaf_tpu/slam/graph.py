@@ -548,7 +548,11 @@ class CovisibleGraph:
             self.edges.target,
             self.edges.weight,
             jnp.asarray(np.clip(self._perm, 0, self.e_cap - 1)),
-            jnp.asarray(self._is_new),
+            # .copy() is load-bearing: on CPU jnp.asarray zero-copy aliases
+            # the numpy buffer, dispatch is async, and this method (plus
+            # add_factors) mutates _is_new in place right after -- without
+            # the copy the device read races the host write.
+            jnp.asarray(self._is_new.copy()),
             self._padded(self.ii),
             self._padded(self.jj),
             self.video.poses,

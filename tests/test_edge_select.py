@@ -193,20 +193,22 @@ def test_edge_transition_matches_host(seed):
     pre["ii_i"][:ni] = g.ii_inac
     pre["jj_i"][:ni] = g.jj_inac
     pre["i_valid"][:ni] = True
-    # deep copies: the host path donates these buffers
+    # deep copies: the host path donates these buffers.  np.array (not
+    # asarray) is load-bearing -- on CPU jnp.asarray(np.asarray(x)) aliases
+    # x's device buffer, so donation would corrupt the snapshot.
     from dbaf_tpu.slam.graph import EdgeArrays
 
     pre_edges = EdgeArrays(
-        jnp.asarray(np.asarray(g.edges.net.astype(jnp.float32))).astype(
+        jnp.asarray(np.array(g.edges.net.astype(jnp.float32))).astype(
             g.edges.net.dtype
         ),
-        jnp.asarray(np.asarray(g.edges.target)),
-        jnp.asarray(np.asarray(g.edges.weight)),
+        jnp.asarray(np.array(g.edges.target)),
+        jnp.asarray(np.array(g.edges.weight)),
     )
-    pre_tinac = jnp.asarray(np.asarray(g.t_inac))
-    pre_winac = jnp.asarray(np.asarray(g.w_inac))
-    pre_target_np = np.asarray(pre_edges.target)
-    pre_weight_np = np.asarray(pre_edges.weight)
+    pre_tinac = jnp.asarray(np.array(g.t_inac))
+    pre_winac = jnp.asarray(np.array(g.w_inac))
+    pre_target_np = np.array(pre_edges.target)
+    pre_weight_np = np.array(pre_edges.weight)
 
     # ---- host path (frontend.py:255-276 visual)
     stale = (g.age > cfg.graph.max_age) & (
@@ -270,4 +272,113 @@ def test_edge_transition_matches_host(seed):
     np.testing.assert_allclose(
         np.asarray(t2[:ni2], np.float32),
         np.asarray(g.t_inac[:ni2], np.float32), atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cull_transition_matches_host(seed):
+    """cull_transition must bit-match graph.rm_keyframe's edge re-indexing
+    (drop edges touching ix, decrement above, stable compact, both stores)."""
+    import jax.numpy as jnp
+
+    from dbaf_tpu.slam.edge_select import cull_transition
+    from dbaf_tpu.slam.graph import EdgeArrays, _rebuild_edges, \
+        _rebuild_inactive
+    from dbaf_tpu.utils.config import DBAFusionConfig, GraphConfig
+
+    rng = np.random.default_rng(300 + seed)
+    cfg = DBAFusionConfig(
+        image_size=(64, 128),
+        buffer=24,
+        graph=GraphConfig(
+            max_factors=12, edge_capacity=16, inactive_capacity=12,
+            frontend_window=5, frontend_radius=2, frontend_nms=1,
+            frontend_thresh=16.0, max_age=8, skip_edge=(-4, -5, -6),
+        ),
+    )
+    t1 = 14
+    video, g = _mk_graph(cfg, rng, t1, n_edges=10, n_inac=3, n_aged=0)
+    # pick ix so at least some seeds drop edges from each store
+    ix = int(rng.integers(1, t1 - 1))
+
+    E, I = g.e_cap, g.i_cap
+    pre = dict(
+        ii=np.zeros(E, np.int32), jj=np.zeros(E, np.int32),
+        age=np.zeros(E, np.int32), valid=np.zeros(E, bool),
+        ii_i=np.zeros(I, np.int32), jj_i=np.zeros(I, np.int32),
+        i_valid=np.zeros(I, bool),
+    )
+    pre["ii"][: g.n] = g.ii
+    pre["jj"][: g.n] = g.jj
+    pre["age"][: g.n] = g.age
+    pre["valid"][: g.n] = True
+    ni = len(g.ii_inac)
+    pre["ii_i"][:ni] = g.ii_inac
+    pre["jj_i"][:ni] = g.jj_inac
+    pre["i_valid"][:ni] = True
+    pre_edges = EdgeArrays(
+        jnp.asarray(np.array(g.edges.net.astype(jnp.float32))).astype(
+            g.edges.net.dtype
+        ),
+        jnp.asarray(np.array(g.edges.target)),
+        jnp.asarray(np.array(g.edges.weight)),
+    )
+    pre_tinac = jnp.asarray(np.array(g.t_inac))
+    pre_winac = jnp.asarray(np.array(g.w_inac))
+    pre_target_np = np.array(pre_edges.target)
+    pre_weight_np = np.array(pre_edges.weight)
+
+    # ---- host path
+    g.rm_keyframe(ix)
+    g._flush()
+
+    # ---- device path
+    ct = cull_transition(
+        jnp.asarray(pre["ii"]), jnp.asarray(pre["jj"]),
+        jnp.asarray(pre["age"]), jnp.asarray(pre["valid"]),
+        jnp.asarray(pre["ii_i"]), jnp.asarray(pre["jj_i"]),
+        jnp.asarray(pre["i_valid"]), jnp.asarray(ix, jnp.int32),
+    )
+
+    n = int(np.sum(np.asarray(ct["valid"])))
+    assert n == g.n, (n, g.n)
+    np.testing.assert_array_equal(np.asarray(ct["ii"])[:n], g.ii)
+    np.testing.assert_array_equal(np.asarray(ct["jj"])[:n], g.jj)
+    np.testing.assert_array_equal(np.asarray(ct["age"])[:n], g.age)
+    ni2 = int(np.sum(np.asarray(ct["i_valid"])))
+    assert ni2 == len(g.ii_inac)
+    np.testing.assert_array_equal(np.asarray(ct["ii_i"])[:ni2], g.ii_inac)
+    np.testing.assert_array_equal(np.asarray(ct["jj_i"])[:ni2], g.jj_inac)
+
+    edges2 = _rebuild_edges(
+        pre_edges.net, pre_edges.target, pre_edges.weight,
+        ct["perm"], jnp.zeros((E,), bool),
+        jnp.asarray(ct["ii"]), jnp.asarray(ct["jj"]),
+        video.poses, video.disps, video.intrinsics,
+        video.nets.astype(jnp.bfloat16),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(edges2.target[:n], np.float32),
+        np.asarray(g.edges.target[:n], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(edges2.net[:n], np.float32),
+        np.asarray(g.edges.net[:n], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(edges2.weight[:n], np.float32),
+        np.asarray(g.edges.weight[:n], np.float32),
+    )
+    t2, w2 = _rebuild_inactive(
+        pre_tinac, pre_winac, ct["inact_perm_old"],
+        jnp.zeros((I,), bool), jnp.zeros((I,), jnp.int32),
+        jnp.asarray(pre_target_np), jnp.asarray(pre_weight_np),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2[:ni2], np.float32),
+        np.asarray(g.t_inac[:ni2], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(w2[:ni2], np.float32),
+        np.asarray(g.w_inac[:ni2], np.float32),
     )
