@@ -66,7 +66,55 @@ def convert_state_dict(
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = value
+    _fuse_conv_heads(tree)
     return tree
+
+
+def _fuse_conv_heads(tree: Dict[str, object]) -> None:
+    """Repack torch conv weights into the fused layouts of models/net.py.
+
+    Exact algebra (slices/concats of HWIO kernels, no arithmetic):
+    * GRU convz/convr/convq (K = h+i over ``cat[net, inp]``) are split at
+      the ``h`` boundary of the contraction dim -- the inp halves stack into
+      ``convzrq_i`` (carrying all three biases), the net halves become the
+      bias-free ``convzr_n`` / ``convq_n``;
+    * convz_glo/convr_glo/convq_glo stack into ``convzrq_glo``;
+    * delta_0/weight_0 stack into ``dw_0``.
+    """
+    for v in tree.values():
+        if isinstance(v, dict):
+            _fuse_conv_heads(v)
+    if "convz" in tree and "convr" in tree and "convq" in tree:
+        kz, kr, kq = (tree.pop(n) for n in ("convz", "convr", "convq"))
+        h = kz["kernel"].shape[-1]
+        tree["convzrq_i"] = {
+            "kernel": np.concatenate(
+                [k["kernel"][:, :, h:] for k in (kz, kr, kq)], axis=-1
+            ),
+            "bias": np.concatenate([k["bias"] for k in (kz, kr, kq)]),
+        }
+        tree["convzr_n"] = {
+            "kernel": np.concatenate(
+                [kz["kernel"][:, :, :h], kr["kernel"][:, :, :h]], axis=-1
+            )
+        }
+        tree["convq_n"] = {"kernel": kq["kernel"][:, :, :h]}
+    if "convz_glo" in tree and "convr_glo" in tree and "convq_glo" in tree:
+        gz, gr, gq = (
+            tree.pop(n) for n in ("convz_glo", "convr_glo", "convq_glo")
+        )
+        tree["convzrq_glo"] = {
+            "kernel": np.concatenate(
+                [g["kernel"] for g in (gz, gr, gq)], axis=-1
+            ),
+            "bias": np.concatenate([g["bias"] for g in (gz, gr, gq)]),
+        }
+    if "delta_0" in tree and "weight_0" in tree:
+        d0, w0 = tree.pop("delta_0"), tree.pop("weight_0")
+        tree["dw_0"] = {
+            "kernel": np.concatenate([d0["kernel"], w0["kernel"]], axis=-1),
+            "bias": np.concatenate([d0["bias"], w0["bias"]]),
+        }
 
 
 def load_droid_weights(path: str) -> Dict[str, object]:

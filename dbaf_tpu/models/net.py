@@ -36,6 +36,13 @@ IMAGE_STD = (0.229, 0.224, 0.225)
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def _fused_init(n_heads: int):
+    """He fan_out init matching the UNfused per-head variance: a conv whose
+    output dim packs ``n_heads`` reference convs has n_heads x the fan_out,
+    so scale by n_heads to keep each head's init distribution unchanged."""
+    return nn.initializers.variance_scaling(2.0 * n_heads, "fan_out", "normal")
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch ``InstanceNorm2d(affine=False)``: per-sample, per-channel
     spatial normalization (no learned parameters)."""
@@ -134,7 +141,17 @@ class BasicEncoder(nn.Module):
 
 
 class ConvGRU(nn.Module):
-    """3x3 ConvGRU with a sigmoid-gated global-context path (gru.py:5-32)."""
+    """3x3 ConvGRU with a sigmoid-gated global-context path (gru.py:5-32).
+
+    The three reference convs (convz/convr/convq over ``cat[net, inp]`` /
+    ``cat[r*net, inp]``) are stored split along the contraction dim and
+    fused along the head dim: one 3x3 conv over ``inp`` produces all three
+    heads' input contributions (the 320-channel window is materialized once
+    instead of twice), one bias-free conv over ``net`` produces z|r, and one
+    over ``r*net`` produces q.  The algebra is an exact repacking of the
+    reference kernels (sliced/concatenated in :mod:`dbaf_tpu.models.convert`);
+    only fp summation order differs.
+    """
 
     h_planes: int = 128
     dtype: Any = jnp.bfloat16
@@ -143,20 +160,26 @@ class ConvGRU(nn.Module):
     def __call__(self, net, inp):
         """net: (B, H, W, 128) hidden; inp: (B, H, W, Ci) stacked inputs."""
         h = self.h_planes
-        conv = lambda ch, k, name: nn.Conv(
-            ch, (k, k), padding=k // 2, kernel_init=_conv_init,
-            dtype=self.dtype, name=name,
+        conv = lambda ch, k, name, heads=1, bias=True: nn.Conv(
+            ch, (k, k), padding=k // 2, use_bias=bias,
+            kernel_init=_fused_init(heads), dtype=self.dtype, name=name,
         )
 
         glo = jax.nn.sigmoid(conv(h, 1, "w")(net)) * net
         glo = jnp.mean(glo, axis=(1, 2), keepdims=True)  # (B,1,1,128)
 
-        net_inp = jnp.concatenate([net, inp], axis=-1)
-        z = jax.nn.sigmoid(conv(h, 3, "convz")(net_inp) + conv(h, 1, "convz_glo")(glo))
-        r = jax.nn.sigmoid(conv(h, 3, "convr")(net_inp) + conv(h, 1, "convr_glo")(glo))
+        gl = conv(3 * h, 1, "convzrq_glo", heads=3)(glo)
+        a = conv(3 * h, 3, "convzrq_i", heads=3)(inp)
+        zr = jax.nn.sigmoid(
+            a[..., : 2 * h]
+            + conv(2 * h, 3, "convzr_n", heads=2, bias=False)(net)
+            + gl[..., : 2 * h]
+        )
+        z, r = zr[..., :h], zr[..., h:]
         q = jnp.tanh(
-            conv(h, 3, "convq")(jnp.concatenate([r * net, inp], axis=-1))
-            + conv(h, 1, "convq_glo")(glo)
+            a[..., 2 * h :]
+            + conv(h, 3, "convq_n", bias=False)(r * net)
+            + gl[..., 2 * h :]
         )
         return (1.0 - z) * net + z * q
 
@@ -224,10 +247,16 @@ class UpdateModule(nn.Module):
             net, jnp.concatenate([inp, c, f], axis=-1)
         )
 
-        d = nn.relu(conv(128, 3, "delta_0")(net))
-        delta = gradient_clip(conv(2, 3, "delta_2")(d))
-        w = nn.relu(conv(128, 3, "weight_0")(net))
-        weight = jax.nn.sigmoid(gradient_clip(conv(2, 3, "weight_2")(w)))
+        # delta_0|weight_0 packed into one conv (exact: independent output
+        # channels; converter concatenates the reference kernels)
+        dw = nn.relu(
+            nn.Conv(
+                256, (3, 3), padding=1, kernel_init=_fused_init(2),
+                dtype=self.dtype, name="dw_0",
+            )(net)
+        )
+        delta = gradient_clip(conv(2, 3, "delta_2")(dw[..., :128]))
+        weight = jax.nn.sigmoid(gradient_clip(conv(2, 3, "weight_2")(dw[..., 128:])))
 
         delta = delta.astype(jnp.float32)
         weight = weight.astype(jnp.float32)

@@ -755,9 +755,16 @@ def _xy_tables(H2: int, W2: int, radius: int, num_levels: int, M: int):
 
 def _fused_xy_kernel(
     f1_ref, f2h_ref, ym2_ref, xm2_ref, g0yc_ref, s0yc_ref, g0xt_ref,
-    s0xt_ref, out_ref, *, H2, W2, group,
+    s0xt_ref, out_ref, *, H2, W2, group, int8=False,
 ):
-    """One pixel tile: in-VMEM volume build, x-first two-stage lookup."""
+    """One pixel tile: in-VMEM volume build, x-first two-stage lookup.
+
+    ``int8=True`` runs the dominant P2 dot on the int8 MXU path (measured
+    77 -> 106 TFLOP/s at the g16 shape, tools/ablate_corr.py mm_p2_i8):
+    the volume is quantized per tile (dynamic symmetric, scale 127/max|vol|)
+    and the tent x-tables with fixed scale 127 (values in [0, 1]).  Worst-
+    case error ~1.2% of the tile's max correlation (vol 0.4% + 2 tent
+    weights 0.8%); the y stage stays bf16."""
     dt = jnp.bfloat16
     f1 = f1_ref[0]            # (tile, C)
     TP = f1.shape[0]
@@ -765,26 +772,39 @@ def _fused_xy_kernel(
     M = group * 32
 
     # volume rows, h-interleaved: vol_blk[g, h*group + r, w]
+    vol_dt = jnp.float32 if int8 else dt
     pieces = []
     for h in range(H2):
         vol_h = jax.lax.dot_general(
             f1, f2h_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (tile, W2)
-        pieces.append(vol_h.astype(dt).reshape(G, group, W2))
+        pieces.append(vol_h.astype(vol_dt).reshape(G, group, W2))
     vol_blk = jnp.concatenate(pieces, axis=1)  # (G, H2*group, W2)
 
     # X kernels, transposed: (G, W2, M)
     kxt = (
         jnp.maximum(0.0, 1.0 - jnp.abs(g0xt_ref[...] - xm2_ref[0][:, None, :]))
         * s0xt_ref[...]
-    ).astype(dt)
+    )
 
     # P2[g, (h,r), (r',j)] = sum_w vol[r][h,w] * kx[r'][j,w]
-    p2 = jax.lax.dot_general(
-        vol_blk, kxt, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)  # (G, H2*group, M)
+    if int8:
+        vmax = jnp.maximum(jnp.max(jnp.abs(vol_blk)), 1e-20)
+        vol_i8 = jnp.round(vol_blk * (127.0 / vmax)).astype(jnp.int8)
+        kxt_i8 = jnp.round(kxt * 127.0).astype(jnp.int8)
+        p2 = (
+            jax.lax.dot_general(
+                vol_i8, kxt_i8, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * (vmax * (1.0 / (127.0 * 127.0)))
+        ).astype(dt)
+    else:
+        p2 = jax.lax.dot_general(
+            vol_blk, kxt.astype(dt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)  # (G, H2*group, M)
     p2s = p2.reshape(G, H2, group, M)  # safe sublane split (h, r)
 
     # compact Y kernels: (G, M, H2), row m uses only its own pixel's slice
@@ -808,7 +828,9 @@ def _fused_xy_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+    static_argnames=(
+        "radius", "num_levels", "tile", "group", "interpret", "int8",
+    ),
 )
 def corr_fused_xy_prepared(
     f1p: jnp.ndarray,
@@ -819,10 +841,13 @@ def corr_fused_xy_prepared(
     tile: int = 128,
     group: int = 8,
     interpret: bool = False,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """x-first fused lookup on preprocessed operands (prepare_corr_fmaps).
 
-    Same contract and numerics as :func:`corr_fused_blk_prepared`."""
+    Same contract and numerics as :func:`corr_fused_blk_prepared`; with
+    ``int8=True`` the P2 stage runs on the int8 MXU (see _fused_xy_kernel,
+    error ~1% of the per-tile max correlation)."""
     E, P_in, C = f1p.shape
     _, H2, _, W2 = f2h.shape
     _, H, W, _ = coords.shape
@@ -843,7 +868,9 @@ def corr_fused_xy_prepared(
 
     const = lambda e, t: (0, 0)
     full = pl.pallas_call(
-        functools.partial(_fused_xy_kernel, H2=H2, W2=W2, group=group),
+        functools.partial(
+            _fused_xy_kernel, H2=H2, W2=W2, group=group, int8=int8,
+        ),
         grid=(E, n_tiles),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -890,7 +917,9 @@ def corr_fused_xy_prepared(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+    static_argnames=(
+        "radius", "num_levels", "tile", "group", "interpret", "int8",
+    ),
 )
 def corr_fused_xy_pallas(
     fmap1: jnp.ndarray,
@@ -901,10 +930,276 @@ def corr_fused_xy_pallas(
     tile: int = 128,
     group: int = 8,
     interpret: bool = False,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """x-first fused correlation build + lookup (see corr_fused_xy_prepared)."""
     f1p, f2h = prepare_corr_fmaps(fmap1, fmap2)
     return corr_fused_xy_prepared(
         f1p, f2h, coords, radius, num_levels, tile=tile, group=group,
+        interpret=interpret, int8=int8,
+    )
+
+
+# --------------------------------------------------------------------------
+# v6 paired x-first: every MXU dot gets K >= 128 and N >= 128.
+#
+# Measured on v5e (tools/ablate_corr.py): dots with N=64 or K=64 run at
+# 13-30 TFLOP/s; the same FLOPs at K,N >= 128 run at ~80.  The v5 kernel's
+# two big stages are both misshapen: the build contracts C=128 into N=W2=64
+# (half lanes), and P2 contracts K=W2=64 (half the systolic rows).  Pairing
+# adjacent volume rows on the lane axis fixes both AT THE SAME TOTAL FLOPs:
+#
+#   build : f2 rows h=2q,2q+1 pre-concatenated on W -> H2/2 dots of
+#           (tile, C) x (C, 2*W2): K=128, N=128;
+#   P2    : contract 2*W2=128 against a parity-BLOCKDIAG x-table
+#           (2W2, 2M) -> (G, (H2/2)*group, 2M): K=128, N=2M.  The
+#           parity zeros double the per-dot FLOPs, which is exactly
+#           cancelled by halving ``group`` (the r/r' cross-block waste);
+#   y     : per-slot dots split into even/odd-row halves (the compact y
+#           tables are just re-sampled at h=2q / 2q+1), two (32, H2/2, 32)
+#           dots + f32 add -- identical sums, zero extra FLOPs.
+#
+# All data movement stays Mosaic-safe: sublane splits/concats plus the
+# 32-aligned lane slices the v5 kernel already uses (the lane-slice+concat
+# un-pairing that Mosaic rejects is never needed -- pairs stay paired until
+# the final per-slot slices).
+#
+# MEASURED NEGATIVE RESULT (v5e, tools/profile_corr.py, 2026-08-17): best
+# v6 config (g8, tile=256) = 18.38 ms vs the wired v5 x-first g16 =
+# 17.06 ms; v6g4 = 27 ms, v6g8 = 19.45 ms.  The K,N>=128 dot shapes do not
+# pay for the extra VMEM traffic of the paired volume + doubled x-table at
+# these sizes.  Kept (with the interpret-mode parity test) as ablation
+# evidence -- do not wire into the hot path, do not re-litigate.
+
+
+def _xyp_tables(
+    H2: int, W2: int, radius: int, num_levels: int, M: int
+):
+    """Constant tables for the paired x-first kernel.
+
+    Returns (G0YE, G0YO, S0YC, G0XT2, S0XT2, inv):
+      G0YE/G0YO (M, H2//2): the v5 compact y-table sampled at even/odd h;
+      S0YC (M, H2//2): shared y scale (h-independent);
+      G0XT2/S0XT2 (2*W2, 2*M): parity-blockdiag x-tables -- block (p, p')
+        holds the v5 (W2, M) x-table when p == p', scale 0 otherwise;
+      inv (M,): level scale, premultiplied onto the coordinates outside.
+    """
+    import numpy as np
+
+    R = 2 * radius + 1
+    i = np.arange(M) % 32
+    lvl = np.minimum(i // R, num_levels - 1)
+    inv = 2.0 ** (-lvl.astype(np.float64))
+    off = (i % R - radius).astype(np.float64)
+    live = (i < num_levels * R).astype(np.float64)
+    Hp = H2 // 2
+    he = 2.0 * np.arange(Hp, dtype=np.float64)
+    G0YE = np.floor(he[None, :] * inv[:, None]) - off[:, None]
+    G0YO = np.floor((he + 1.0)[None, :] * inv[:, None]) - off[:, None]
+    S0YC = (inv * live)[:, None] * np.ones((M, Hp))
+
+    w = np.arange(W2, dtype=np.float64)
+    G0XT = np.floor(w[:, None] * inv[None, :]) - off[None, :]
+    S0XT = (inv * live)[None, :] * np.ones((W2, M))
+    G0XT2 = np.tile(G0XT, (2, 2))
+    par_w = (np.arange(2 * W2)[:, None] >= W2)
+    par_m = (np.arange(2 * M)[None, :] >= M)
+    S0XT2 = np.tile(S0XT, (2, 2)) * (par_w == par_m)
+    return (
+        G0YE.astype(np.float32), G0YO.astype(np.float32),
+        S0YC.astype(np.float32),
+        G0XT2.astype(np.float32), S0XT2.astype(np.float32),
+        inv.astype(np.float32),
+    )
+
+
+def _fused_xyp_kernel(
+    f1_ref, f2p_ref, ym2_ref, xm22_ref, g0ye_ref, g0yo_ref, s0yc_ref,
+    g0xt2_ref, s0xt2_ref, out_ref, *, Hp, W2, group,
+):
+    """One pixel tile: paired in-VMEM build + paired x-first lookup."""
+    dt = jnp.bfloat16
+    f1 = f1_ref[0]            # (tile, C)
+    TP = f1.shape[0]
+    G = TP // group
+    M = group * 32
+
+    # paired volume rows: volp[g, q*group + r, (parity, w)]
+    pieces = []
+    for q in range(Hp):
+        vol_q = jax.lax.dot_general(
+            f1, f2p_ref[0, q], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, 2*W2)
+        pieces.append(vol_q.astype(dt).reshape(G, group, 2 * W2))
+    volp = jnp.concatenate(pieces, axis=1)  # (G, Hp*group, 2*W2)
+
+    # parity-blockdiag X kernels: (G, 2*W2, 2*M)
+    kxt2 = (
+        jnp.maximum(
+            0.0, 1.0 - jnp.abs(g0xt2_ref[...] - xm22_ref[0][:, None, :])
+        )
+        * s0xt2_ref[...]
+    ).astype(dt)
+
+    # P2[g, (q,r), (parity, r', j)] = sum_w vol[r][2q+parity, w] * kx[r'][j, w]
+    p2 = jax.lax.dot_general(
+        volp, kxt2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # (G, Hp*group, 2*M)
+    p2s = p2.reshape(G, Hp, group, 2 * M)  # safe sublane split (q, r)
+
+    # compact even/odd Y kernels: (G, M, Hp)
+    ym = ym2_ref[0][:, :, None]
+    kye = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0ye_ref[...] - ym)) * s0yc_ref[...]
+    ).astype(dt)
+    kyo = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0yo_ref[...] - ym)) * s0yc_ref[...]
+    ).astype(dt)
+    kyes = kye.reshape(G, group, 32, Hp)
+    kyos = kyo.reshape(G, group, 32, Hp)
+
+    outs = []
+    for r in range(group):
+        pe = p2s[:, :, r, 32 * r: 32 * (r + 1)]          # (G, Hp, 32)
+        po = p2s[:, :, r, M + 32 * r: M + 32 * (r + 1)]  # (G, Hp, 32)
+        oe = jax.lax.dot_general(
+            kyes[:, r], pe, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        oo = jax.lax.dot_general(
+            kyos[:, r], po, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((oe + oo).astype(out_ref.dtype))  # (G, 32y, 32x)
+    out_ref[0] = jnp.concatenate(outs, axis=1)  # (G, M, 32): rows (r, y)
+
+
+def prepare_corr_fmaps_paired(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
+    """Preprocess feature maps for :func:`corr_fused_xyp_prepared`.
+
+    Like :func:`prepare_corr_fmaps` but f2 comes h-row-PAIRED on the lane
+    axis: f2hp (E, H2//2, C, 2*W2) with f2hp[:, q, :, p*W2 + w] =
+    fmap2[:, 2q+p, w, :] / 4.
+    """
+    E, H2, W2, C = fmap1.shape
+    assert H2 % 2 == 0, H2
+    f1p = (fmap1.astype(jnp.bfloat16) / 4.0).reshape(E, H2 * W2, C)
+    f2h = (fmap2.astype(jnp.bfloat16) / 4.0).transpose(0, 1, 3, 2)
+    f2hp = (
+        f2h.reshape(E, H2 // 2, 2, C, W2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(E, H2 // 2, C, 2 * W2)
+    )
+    return f1p, f2hp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_xyp_prepared(
+    f1p: jnp.ndarray,
+    f2hp: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paired x-first fused lookup on prepare_corr_fmaps_paired operands.
+
+    Same contract and numerics as :func:`corr_fused_blk_prepared`."""
+    E, P_in, C = f1p.shape
+    _, Hp, _, W22 = f2hp.shape
+    W2 = W22 // 2
+    H2 = 2 * Hp
+    _, H, W, _ = coords.shape
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    g0ye, g0yo, s0yc, g0xt2, s0xt2, inv_m = _xyp_tables(
+        H2, W2, radius, num_levels, M
+    )
+
+    flat = coords.reshape(E, P_in, 2)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    inv_j = jnp.asarray(inv_m)  # (M,)
+    xm2 = jnp.repeat(cm[..., 0], 32, axis=-1) * inv_j  # (E, P/group, M)
+    ym2 = jnp.repeat(cm[..., 1], 32, axis=-1) * inv_j
+    xm22 = jnp.concatenate([xm2, xm2], axis=-1)        # (E, P/group, 2M)
+
+    const = lambda e, t: (0, 0)
+    full = pl.pallas_call(
+        functools.partial(_fused_xyp_kernel, Hp=Hp, W2=W2, group=group),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, C, 2 * W2), lambda e, t: (e, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 2 * M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, Hp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * W2, 2 * M), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * W2, 2 * M), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        interpret=interpret,
+    )(
+        f1p, f2hp, ym2, xm22,
+        jnp.asarray(g0ye), jnp.asarray(g0yo), jnp.asarray(s0yc),
+        jnp.asarray(g0xt2), jnp.asarray(s0xt2),
+    )
+
+    # rows are (r, y-row i), cols x-row j: swap to x-major before the
+    # diagonal-level extraction so the channel order matches the reference
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        jnp.swapaxes(
+            full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R], -1, -2
+        ).reshape(E, P_in, R * R)
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_xyp_pallas(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paired x-first fused correlation (see corr_fused_xyp_prepared)."""
+    f1p, f2hp = prepare_corr_fmaps_paired(fmap1, fmap2)
+    return corr_fused_xyp_prepared(
+        f1p, f2hp, coords, radius, num_levels, tile=tile, group=group,
         interpret=interpret,
     )

@@ -179,6 +179,7 @@ def make_update_kernel(
             if blk_corr:
                 corr = corr_fused_xy_prepared(
                     f1p, f2h, coords1, radius, tile=corr_tile, group=grp,
+                    int8=bool(cfg.graph.corr_int8),
                 )
             else:
                 corr = corr_ops.lookup_auto(vol, coords1, radius)

@@ -27,6 +27,13 @@ class GraphConfig:
     inactive_capacity: int = 64      # static padded inactive-edge store
     corr_group: int = 16             # blockdiag pixel packing of the fused
     # Pallas correlation kernel (x-first variant; 16 fastest measured)
+    corr_int8: bool = False          # run the dominant P2 stage of the fused
+    # corr kernel on the int8 MXU.  MEASURED NEGATIVE (2026-08-17): the pure
+    # dot gains 77 -> 106 TFLOP/s (tools/ablate_corr mm_p2_i8) but the
+    # in-kernel quantization (per-tile max reduce + round + f32->int8
+    # conversions over ~1.3M elements) costs more than the dot saves:
+    # v5g16 15.99 ms bf16 vs 19.55 ms int8 (tools/profile_corr).  Kept as a
+    # tested ablation path; error when enabled <= ~1.2% of per-tile max.
     frontend_window: int = 5         # proximity window (demo:98)
     frontend_radius: int = 2         # forced radius edges (demo:99)
     frontend_nms: int = 1            # NMS suppression radius (demo:100)

@@ -151,6 +151,27 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     np.testing.assert_allclose(out5, ref, atol=2e-2)
 
+    # v5 int8: P2 stage quantized to the int8 MXU.  Error bound: vol
+    # quantization 0.5/127 + two tent weights 2*0.5/127, each scaled by the
+    # per-tile max |corr| -- use 2% of max|ref| as tolerance.
+    out5i = np.asarray(
+        corr_fused_xy_pallas(f1, f2, coords, group=8, interpret=True,
+                             int8=True)
+    )
+    np.testing.assert_allclose(out5i, ref, atol=0.02 * np.abs(ref).max())
+
+    # v6: paired x-first (K,N >= 128 on every dot)
+    from dbaf_tpu.ops.corr_pallas import corr_fused_xyp_pallas
+
+    out6 = np.asarray(
+        corr_fused_xyp_pallas(f1, f2, coords, group=4, interpret=True)
+    )
+    np.testing.assert_allclose(out6, ref, atol=2e-2)
+    out6b = np.asarray(
+        corr_fused_xyp_pallas(f1, f2, coords, group=8, interpret=True)
+    )
+    np.testing.assert_allclose(out6b, ref, atol=2e-2)
+
 
 def test_pyramid_lookup_channel_order(rng):
     """Level-major, x-offset-major channel order (matches reference)."""

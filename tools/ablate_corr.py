@@ -239,6 +239,10 @@ def make_mm_variant(which):
     mm_n128 : N=128 (two W2 blocks fused) - full lanes
     mm_k384 : K doubled (G=16, K=384) - g8-like stage-1 shape
     mm_flat : ONE unbatched dot (M=4096, K=192, N=64) per cell
+    mm_p2 / mm_p2_i8       : the wired v5g16 P2 shape (G16 M768 K64 N512),
+                             bf16 vs int8xint8->int32 (v5e int8 peak 2x bf16)
+    mm_build / mm_build_i8 : the volume-build shape (G48 M256 K128 N64)
+    mm_i8                  : base shape in int8
     """
     G_, M_, K_, N_ = 32, 128, 192, 64
     if which == "mm_m256":
@@ -249,8 +253,25 @@ def make_mm_variant(which):
         N_ = 128
     if which == "mm_flat":
         G_, M_ = 1, 4096
-    out_dt = jnp.bfloat16
-    acc_dt = jnp.bfloat16 if which == "mm_bf16" else jnp.float32
+    if which in ("mm_p2", "mm_p2_i8"):
+        G_, M_, K_, N_ = 16, 768, 64, 512
+    if which in ("mm_build", "mm_build_i8"):
+        G_, M_, K_, N_ = 48, 256, 128, 64
+    # v6-paired P2 shapes (K=128 fills the systolic rows; parity-blockdiag
+    # doubles FLOPs, so same useful work as the v5 shape at half the group)
+    if which in ("mm_p2v6", "mm_p2v6_i8"):
+        G_, M_, K_, N_ = 32, 192, 128, 512
+    if which in ("mm_p2v6g16", "mm_p2v6g16_i8"):
+        G_, M_, K_, N_ = 16, 384, 128, 1024
+    if which == "mm_buildp_i8":  # paired build: K=128 N=128
+        G_, M_, K_, N_ = 24, 256, 128, 128
+    int8 = which.endswith("_i8") or which == "mm_i8"
+    in_dt = jnp.int8 if int8 else jnp.bfloat16
+    out_dt = jnp.int32 if int8 else jnp.bfloat16
+    acc_dt = (
+        jnp.int32 if int8
+        else (jnp.bfloat16 if which == "mm_bf16" else jnp.float32)
+    )
 
     def kern(a_ref, b_ref, out_ref):
         a = a_ref[0]
@@ -296,12 +317,31 @@ def run_mm_variants(names):
     rng = np.random.default_rng(0)
     for which in names:
         run, (G_, M_, K_, N_), flops = make_mm_variant(which)
-        a = jnp.asarray(rng.standard_normal((E, G_, M_, K_)), jnp.bfloat16)
-        b = jnp.asarray(rng.standard_normal((E, G_, K_, N_)), jnp.bfloat16)
+        int8 = which.endswith("_i8") or which == "mm_i8"
+        if int8:
+            a = jnp.asarray(
+                rng.integers(-127, 128, (E, G_, M_, K_)), jnp.int8
+            )
+            b = jnp.asarray(
+                rng.integers(-127, 128, (E, G_, K_, N_)), jnp.int8
+            )
 
-        def step(x, run=run, b=b):
-            out = run(x, b)
-            return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
+            def step(x, run=run, b=b):
+                out = run(x, b)
+                # consume out + shift input so the transport cannot memoize
+                # (int8 add wraps; cycle >= 86 steps >> n)
+                return x + (jnp.max(out) % 3 + 1).astype(jnp.int8)
+        else:
+            a = jnp.asarray(
+                rng.standard_normal((E, G_, M_, K_)), jnp.bfloat16
+            )
+            b = jnp.asarray(
+                rng.standard_normal((E, G_, K_, N_)), jnp.bfloat16
+            )
+
+            def step(x, run=run, b=b):
+                out = run(x, b)
+                return x + (jnp.mean(out).astype(x.dtype) % 1) * 1e-3
 
         t = slope(which, step, a)
         print(f"    -> {flops / t / 1e12:.1f} TFLOP/s "
@@ -516,3 +556,273 @@ def run_s1t(names):
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Stage ablation of the REAL v5 (x-first, g16) and v6 (paired, g8) fused
+# kernels at the production operating point (E=64, 48x64 grid, tile=256).
+# Variants: *_full (whole kernel), *_noy (y dots replaced by a slice),
+# *_nop2 (P2 dot replaced by a lane broadcast), *_build (volume dots only).
+# Subtraction gives per-stage cost; run as e.g.
+#   python tools/ablate_corr.py xy5_full xy6_full xy6_noy xy6_nop2 xy6_build
+
+
+def run_xy_stages(names):
+    from dbaf_tpu.ops.corr_pallas import (
+        _xy_tables, _xyp_tables, prepare_corr_fmaps,
+        prepare_corr_fmaps_paired,
+    )
+
+    rng = np.random.default_rng(0)
+    Ee, Hh, Ww, Cc = 64, 48, 64, 128
+    Pp = Hh * Ww
+    tile = 256
+    H2_, W2_ = Hh, Ww
+    Hp = H2_ // 2
+    f1 = jnp.asarray(rng.standard_normal((Ee, Hh, Ww, Cc)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.standard_normal((Ee, Hh, Ww, Cc)), jnp.bfloat16)
+    coords0 = jnp.asarray(
+        rng.uniform(2, 40, (Ee, Hh, Ww, 2)), jnp.float32
+    )
+
+    def make6(stage, group=8):
+        G_ = tile // group
+        M_ = group * 32
+        n_tiles = Pp // tile
+        g0ye, g0yo, s0yc, g0xt2, s0xt2, inv_m = _xyp_tables(
+            H2_, W2_, 3, 4, M_
+        )
+        f1p, f2hp = prepare_corr_fmaps_paired(f1, f2)
+        inv_j = jnp.asarray(inv_m)
+
+        def kern(f1_ref, f2p_ref, ym2_ref, xm22_ref, g0ye_r, g0yo_r,
+                 s0yc_r, g0xt2_r, s0xt2_r, out_ref):
+            dt = jnp.bfloat16
+            f1k = f1_ref[0]
+            pieces = []
+            for q in range(Hp):
+                vol_q = jax.lax.dot_general(
+                    f1k, f2p_ref[0, q], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pieces.append(vol_q.astype(dt).reshape(G_, group, 2 * W2_))
+            volp = jnp.concatenate(pieces, axis=1)  # (G, Hp*group, 2W2)
+            if stage == "build":
+                out_ref[0] = volp[:, :, :32]
+                return
+            kxt2 = (
+                jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(g0xt2_r[...] - xm22_ref[0][:, None, :]),
+                )
+                * s0xt2_r[...]
+            ).astype(dt)
+            if stage == "nop2":
+                # fake P2 by a lane broadcast (keeps build/tables/y)
+                p2 = (
+                    volp[:, :, :1]
+                    + jnp.max(kxt2, axis=1, keepdims=True)[:, :1, :]
+                )
+            else:
+                p2 = jax.lax.dot_general(
+                    volp, kxt2, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            if stage == "noy":
+                out_ref[0] = p2[:, :, :32]
+                return
+            p2s = p2.reshape(G_, Hp, group, 2 * M_)
+            ym = ym2_ref[0][:, :, None]
+            kye = (
+                jnp.maximum(0.0, 1.0 - jnp.abs(g0ye_r[...] - ym))
+                * s0yc_r[...]
+            ).astype(dt)
+            kyo = (
+                jnp.maximum(0.0, 1.0 - jnp.abs(g0yo_r[...] - ym))
+                * s0yc_r[...]
+            ).astype(dt)
+            kyes = kye.reshape(G_, group, 32, Hp)
+            kyos = kyo.reshape(G_, group, 32, Hp)
+            outs = []
+            for r in range(group):
+                pe = p2s[:, :, r, 32 * r: 32 * (r + 1)]
+                po = p2s[:, :, r, M_ + 32 * r: M_ + 32 * (r + 1)]
+                oe = jax.lax.dot_general(
+                    kyes[:, r], pe, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                oo = jax.lax.dot_general(
+                    kyos[:, r], po, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append((oe + oo).astype(dt))
+            out_ref[0] = jnp.concatenate(outs, axis=1)
+
+        out_rows = {
+            "build": Hp * group, "noy": Hp * group,
+        }.get(stage, M_)
+        out_cols = 32
+        const = lambda e, t: (0, 0)
+
+        @jax.jit
+        def run(coords):
+            flat = coords.reshape(Ee, Pp, 2)
+            cm_ = flat.reshape(Ee, Pp // group, group, 2)
+            xm2_ = jnp.repeat(cm_[..., 0], 32, axis=-1) * inv_j
+            ym2_ = jnp.repeat(cm_[..., 1], 32, axis=-1) * inv_j
+            xm22_ = jnp.concatenate([xm2_, xm2_], axis=-1)
+            return pl.pallas_call(
+                kern,
+                grid=(Ee, n_tiles),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                in_specs=[
+                    pl.BlockSpec((1, tile, Cc), lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Hp, Cc, 2 * W2_),
+                                 lambda e, t: (e, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile // group, M_),
+                                 lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile // group, 2 * M_),
+                                 lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M_, Hp), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M_, Hp), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M_, Hp), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * W2_, 2 * M_), const,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * W2_, 2 * M_), const,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, G_, out_rows, out_cols),
+                    lambda e, t: (e, t, 0, 0), memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (Ee, Pp // group, out_rows, out_cols), jnp.bfloat16,
+                ),
+            )(f1p, f2hp, ym2_, xm22_, jnp.asarray(g0ye), jnp.asarray(g0yo),
+              jnp.asarray(s0yc), jnp.asarray(g0xt2), jnp.asarray(s0xt2))
+
+        return run
+
+    def make5(stage, group=16):
+        G_ = tile // group
+        M_ = group * 32
+        n_tiles = Pp // tile
+        g0yc, s0yc, g0xt, s0xt, inv_m = _xy_tables(H2_, W2_, 3, 4, M_)
+        f1p, f2h = prepare_corr_fmaps(f1, f2)
+        inv_j = jnp.asarray(inv_m)
+
+        def kern(f1_ref, f2h_ref, ym2_ref, xm2_ref, g0yc_r, s0yc_r,
+                 g0xt_r, s0xt_r, out_ref):
+            dt = jnp.bfloat16
+            f1k = f1_ref[0]
+            pieces = []
+            for h in range(H2_):
+                vol_h = jax.lax.dot_general(
+                    f1k, f2h_ref[0, h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pieces.append(vol_h.astype(dt).reshape(G_, group, W2_))
+            vol_blk = jnp.concatenate(pieces, axis=1)
+            if stage == "build":
+                out_ref[0] = vol_blk[:, :, :32]
+                return
+            kxt = (
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(g0xt_r[...] - xm2_ref[0][:, None, :])
+                )
+                * s0xt_r[...]
+            ).astype(dt)
+            if stage == "nop2":
+                p2 = (
+                    vol_blk[:, :, :1]
+                    + jnp.max(kxt, axis=1, keepdims=True)[:, :1, :]
+                )
+            else:
+                p2 = jax.lax.dot_general(
+                    vol_blk, kxt, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            if stage == "noy":
+                out_ref[0] = p2[:, :, :32]
+                return
+            p2s = p2.reshape(G_, H2_, group, M_)
+            ky = (
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(g0yc_r[...] - ym2_ref[0][:, :, None])
+                )
+                * s0yc_r[...]
+            ).astype(dt)
+            kys = ky.reshape(G_, group, 32, H2_)
+            outs = []
+            for r in range(group):
+                p2_r = p2s[:, :, r, 32 * r: 32 * (r + 1)]
+                o = jax.lax.dot_general(
+                    kys[:, r], p2_r, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(o.astype(dt))
+            out_ref[0] = jnp.concatenate(outs, axis=1)
+
+        out_rows = {
+            "build": H2_ * group, "noy": H2_ * group,
+        }.get(stage, M_)
+        const = lambda e, t: (0, 0)
+
+        @jax.jit
+        def run(coords):
+            flat = coords.reshape(Ee, Pp, 2)
+            cm_ = flat.reshape(Ee, Pp // group, group, 2)
+            xm2_ = jnp.repeat(cm_[..., 0], 32, axis=-1) * inv_j
+            ym2_ = jnp.repeat(cm_[..., 1], 32, axis=-1) * inv_j
+            return pl.pallas_call(
+                kern,
+                grid=(Ee, n_tiles),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                in_specs=[
+                    pl.BlockSpec((1, tile, Cc), lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, H2_, Cc, W2_),
+                                 lambda e, t: (e, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile // group, M_),
+                                 lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile // group, M_),
+                                 lambda e, t: (e, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M_, H2_), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M_, H2_), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((W2_, M_), const, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((W2_, M_), const, memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, G_, out_rows, 32),
+                    lambda e, t: (e, t, 0, 0), memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (Ee, Pp // group, out_rows, 32), jnp.bfloat16,
+                ),
+            )(f1p, f2h, ym2_, xm2_, jnp.asarray(g0yc), jnp.asarray(s0yc),
+              jnp.asarray(g0xt), jnp.asarray(s0xt))
+
+        return run
+
+    for which in names:
+        fam, stage = which.split("_", 1)
+        run = make6(stage) if fam == "xy6" else make5(stage)
+
+        def step(c, run=run):
+            out = run(c)
+            return c + 1e-3 * (
+                jnp.mean(out[..., :2].astype(jnp.float32)) % 1.0
+            )
+
+        slope(which, step, coords0)

@@ -148,6 +148,29 @@ def main():
 
             slope(name, jax.jit(_step), coords0)
 
+    for name, kw in (
+        ("v5g8", dict(group=8)),
+        ("v5g16", dict(group=16, tile=256)),
+        ("v5g16i8", dict(group=16, tile=256, int8=True)),
+        ("v5g8i8", dict(group=8, int8=True)),
+        ("v6g4", dict(group=4)),
+        ("v6g8", dict(group=8)),
+        ("v6g8t256", dict(group=8, tile=256)),
+        ("v6g16", dict(group=16, tile=256)),
+    ):
+        if name in want:
+            from dbaf_tpu.ops.corr_pallas import (
+                corr_fused_xy_pallas, corr_fused_xyp_pallas,
+            )
+
+            fn = corr_fused_xyp_pallas if name.startswith("v6") else corr_fused_xy_pallas
+
+            def _step(c, kw=kw, fn=fn):
+                out = fn(f1, f2, c, **kw)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope(name, jax.jit(_step), coords0)
+
 
 if __name__ == "__main__":
     main()

@@ -41,7 +41,9 @@ def _pull(state):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def slope(name, step, state, n=8):
+def slope(name, step, state, n=None):
+    if n is None:
+        n = int(os.environ.get("SLOPE_N", "8"))
     """Time `state = step(state)` chained; report (t_n - t_1) / (n - 1).
 
     Both timed regions end in a scalar pull so the pull cost cancels in the
