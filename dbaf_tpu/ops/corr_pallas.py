@@ -755,7 +755,7 @@ def _xy_tables(H2: int, W2: int, radius: int, num_levels: int, M: int):
 
 def _fused_xy_kernel(
     f1_ref, f2h_ref, ym2_ref, xm2_ref, g0yc_ref, s0yc_ref, g0xt_ref,
-    s0xt_ref, out_ref, *, H2, W2, group, int8=False,
+    s0xt_ref, out_ref, *, H2, W2, group, int8=False, y_sub=0,
 ):
     """One pixel tile: in-VMEM volume build, x-first two-stage lookup.
 
@@ -814,22 +814,67 @@ def _fused_xy_kernel(
     ).astype(dt)
     kys = ky.reshape(G, group, 32, H2)
 
-    outs = []
-    for r in range(group):
-        p2_r = p2s[:, :, r, 32 * r: 32 * (r + 1)]  # (G, H2, 32)
-        ky_r = kys[:, r]                           # (G, 32, H2)
-        o = jax.lax.dot_general(
-            ky_r, p2_r, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, 32y, 32x)
-        outs.append(o.astype(out_ref.dtype))
-    out_ref[0] = jnp.concatenate(outs, axis=1)  # (G, M, 32): rows (r, y)
+    if y_sub > 1:
+        # subgroup blockdiag y-stage: the per-slot (32, H2) x (H2, 32)
+        # dots run at ~4 TFLOP/s (M=32 starves the MXU).  Stacking S
+        # pixels' y-kernels on sublanes and their own 32-wide P2 slices
+        # on lanes turns S dots into ONE (S*32, H2) x (H2, S*32) dot
+        # (S x executed FLOPs, cross blocks discarded) on MXU-happy
+        # shapes; every kept output element is the identical dot product.
+        # Layout glue avoids lane concats (Mosaic: "offset mismatch on
+        # non-concat dimension"): p24 assembled by iota-mask + add, the
+        # kernel rows taken as one contiguous sublane slice of ky, and
+        # the diagonal blocks written straight into out_ref (stores
+        # relayout their operand; concatenate does not).
+        #
+        # MEASURED NEGATIVE (v5e, 2026-08-18, tools/profile_corr.py):
+        # v5g16y4 23.38 ms vs wired v5g16 17.1 ms (y8 42 ms) even though
+        # the pure y4 dot shape runs at 48 TFLOP/s (tools/ablate_corr
+        # mm_y4 => ~1.6 ms production vs ~5 ms per-slot).  The mask-add
+        # assembly + 16 lane-offset relayout stores cost ~10 ms of VPU
+        # work -- same failure mode as the v6 paired kernel.  Kept as a
+        # parity-tested ablation; do not wire, do not re-litigate.
+        S = y_sub
+        assert group % S == 0, (group, S)
+        Mi = 32 * S
+        G = p2s.shape[0]
+        lane_q = jax.lax.broadcasted_iota(
+            jnp.int32, (G, H2, Mi), 2) // 32
+        for s in range(group // S):
+            ky4 = ky[:, Mi * s: Mi * (s + 1), :]       # (G, Mi, H2)
+            blk = p2s[:, :, S * s: S * (s + 1), Mi * s: Mi * (s + 1)]
+            p24 = jnp.zeros((G, H2, Mi), dt)
+            for q in range(S):
+                p24 = p24 + jnp.where(lane_q == q, blk[:, :, q, :], 0)
+            o = jax.lax.dot_general(
+                ky4, p24, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, Mi rows (q,i), Mi cols (q',j))
+            for q in range(S):
+                out_ref[
+                    0, :,
+                    32 * (S * s + q): 32 * (S * s + q + 1), :,
+                ] = o[:, 32 * q: 32 * (q + 1), 32 * q: 32 * (q + 1)].astype(
+                    out_ref.dtype
+                )
+    else:
+        outs = []
+        for r in range(group):
+            p2_r = p2s[:, :, r, 32 * r: 32 * (r + 1)]  # (G, H2, 32)
+            ky_r = kys[:, r]                           # (G, 32, H2)
+            o = jax.lax.dot_general(
+                ky_r, p2_r, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, 32y, 32x)
+            outs.append(o.astype(out_ref.dtype))
+        out_ref[0] = jnp.concatenate(outs, axis=1)  # (G, M, 32): rows (r, y)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
+        "y_sub",
     ),
 )
 def corr_fused_xy_prepared(
@@ -842,6 +887,7 @@ def corr_fused_xy_prepared(
     group: int = 8,
     interpret: bool = False,
     int8: bool = False,
+    y_sub: int = 0,
 ) -> jnp.ndarray:
     """x-first fused lookup on preprocessed operands (prepare_corr_fmaps).
 
@@ -870,6 +916,7 @@ def corr_fused_xy_prepared(
     full = pl.pallas_call(
         functools.partial(
             _fused_xy_kernel, H2=H2, W2=W2, group=group, int8=int8,
+            y_sub=y_sub,
         ),
         grid=(E, n_tiles),
         compiler_params=pltpu.CompilerParams(
@@ -919,6 +966,7 @@ def corr_fused_xy_prepared(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
+        "y_sub",
     ),
 )
 def corr_fused_xy_pallas(
@@ -931,12 +979,13 @@ def corr_fused_xy_pallas(
     group: int = 8,
     interpret: bool = False,
     int8: bool = False,
+    y_sub: int = 0,
 ) -> jnp.ndarray:
     """x-first fused correlation build + lookup (see corr_fused_xy_prepared)."""
     f1p, f2h = prepare_corr_fmaps(fmap1, fmap2)
     return corr_fused_xy_prepared(
         f1p, f2h, coords, radius, num_levels, tile=tile, group=group,
-        interpret=interpret, int8=int8,
+        interpret=interpret, int8=int8, y_sub=y_sub,
     )
 
 

@@ -265,6 +265,17 @@ def make_mm_variant(which):
         G_, M_, K_, N_ = 16, 384, 128, 1024
     if which == "mm_buildp_i8":  # paired build: K=128 N=128
         G_, M_, K_, N_ = 24, 256, 128, 128
+    # y-stage subgroup-4 blockdiag: per 256-px tile, 4 subgroups x G=16
+    # cells -> 64 batched (128, 48) x (48, 128) dots (4x useful work)
+    if which == "mm_y4":
+        G_, M_, K_, N_ = 64, 128, 48, 128
+    if which == "mm_y8":  # subgroup-8: (256, 48) x (48, 256), 8x waste
+        G_, M_, K_, N_ = 32, 256, 48, 256
+    # multi-res P2 for levels 1-3 on a w-pooled (H2, 32) volume
+    if which == "mm_p2w32":
+        G_, M_, K_, N_ = 16, 768, 32, 384
+    if which == "mm_poolw":  # vol0 -> w-pooled volume via (64, 32) matmul
+        G_, M_, K_, N_ = 16, 768, 64, 32
     int8 = which.endswith("_i8") or which == "mm_i8"
     in_dt = jnp.int8 if int8 else jnp.bfloat16
     out_dt = jnp.int32 if int8 else jnp.bfloat16

@@ -153,6 +153,10 @@ def main():
         ("v5g16", dict(group=16, tile=256)),
         ("v5g16i8", dict(group=16, tile=256, int8=True)),
         ("v5g8i8", dict(group=8, int8=True)),
+        ("v5g16y4", dict(group=16, tile=256, y_sub=4)),
+        ("v5g16y8", dict(group=16, tile=256, y_sub=8)),
+        ("v5g16y16", dict(group=16, tile=256, y_sub=16)),
+        ("v5g8y4", dict(group=8, y_sub=4)),
         ("v6g4", dict(group=4)),
         ("v6g8", dict(group=8)),
         ("v6g8t256", dict(group=8, tile=256)),
