@@ -990,6 +990,212 @@ def corr_fused_xy_pallas(
 
 
 # --------------------------------------------------------------------------
+# v8 round-cached volume: build once per keyframe step, stream per round.
+#
+# The volume depends only on the edge feature maps, which are constant
+# across a keyframe step's update rounds -- the in-kernel rebuild of the
+# v3/v5 kernels pays the build matmuls every round for identical results.
+# Storing the volume in the lookup kernel's OWN tile layout
+# (E, T*G, group*H2, W2) makes every grid step's input one contiguous
+# (G, group*H2, W2) block (~1.5 MB at g16/t256) for the Pallas pipeline
+# to double-buffer.
+#
+# MEASURED NEGATIVE (v5e, 2026-08-18, tools/profile_corr.py, E=64):
+# v8lookup 21.87 ms + v8build 4.46 ms/keyframe vs fused v5g16 16.66 ms --
+# streaming the ~1.2 GB volume costs MORE than the ~2 ms/round in-kernel
+# rebuild (100 MB of features).  The (.., W2=64) trailing blocks run at
+# half lane width, and 1.2 GB/round is ~5 ms even at full HBM bandwidth;
+# the in-kernel build turns that bandwidth into MXU work instead.  Kept
+# as a parity-tested ablation (tests/test_corr.py); do not wire.
+#
+# Related measured negatives at the same operating point (same date):
+# int8 P2 (v5g16i8 21.58, v5g8i8 20.40 ms): the per-tile quantize /
+# dequantize VPU work swamps the int8 MXU gain.
+# group sweep: v5g4 48.6, v5g8 17.76, v5g16 16.66 ms -- the blockdiag
+# waste (each pixel uses only its own 32 of M=group*32 P2 columns, so
+# executed FLOPs scale with group) is MORE than paid back by MXU-happy
+# N=M shapes and fewer, larger y-stage dots.  group=16/tile=256 stays.
+
+
+def _build_vol_kernel(f1_ref, f2h_ref, out_ref, *, H2, group):
+    """One pixel tile of the h-interleaved blocked volume (v5 layout)."""
+    f1 = f1_ref[0]            # (tile, C)
+    G = f1.shape[0] // group
+    W2 = f2h_ref.shape[3]
+    pieces = []
+    for h in range(H2):
+        vol_h = jax.lax.dot_general(
+            f1, f2h_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, W2)
+        pieces.append(vol_h.astype(jnp.bfloat16).reshape(G, group, W2))
+    out_ref[0] = jnp.concatenate(pieces, axis=1)  # (G, H2*group, W2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "group", "interpret")
+)
+def build_xy_volume(
+    f1p: jnp.ndarray,
+    f2h: jnp.ndarray,
+    tile: int = 128,
+    group: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Materialize the correlation volume in the x-first kernel's blocked
+    layout: (E, n_tiles*G, group*H2, W2) bf16, rows h-interleaved
+    (vol row = h*group + r).  Numerically identical to the in-kernel build
+    of :func:`corr_fused_xy_prepared` (f32 accumulate, bf16 store)."""
+    E, P_in, C = f1p.shape
+    _, H2, _, W2 = f2h.shape
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    return pl.pallas_call(
+        functools.partial(_build_vol_kernel, H2=H2, group=group),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2, C, W2), lambda e, t: (e, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, group * H2, W2), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, n_tiles * G, group * H2, W2), jnp.bfloat16
+        ),
+        interpret=interpret,
+    )(f1p, f2h)
+
+
+def _xy_lookup_kernel(
+    vol_ref, ym2_ref, xm2_ref, g0yc_ref, s0yc_ref, g0xt_ref, s0xt_ref,
+    out_ref, *, H2, W2, group,
+):
+    """x-first two-stage lookup on a prebuilt blocked volume tile."""
+    dt = jnp.bfloat16
+    vol_blk = vol_ref[0]      # (G, H2*group, W2)
+    G = vol_blk.shape[0]
+    M = group * 32
+
+    kxt = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0xt_ref[...] - xm2_ref[0][:, None, :]))
+        * s0xt_ref[...]
+    )
+    p2 = jax.lax.dot_general(
+        vol_blk, kxt.astype(dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # (G, H2*group, M)
+    p2s = p2.reshape(G, H2, group, M)
+
+    ky = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0yc_ref[...] - ym2_ref[0][:, :, None]))
+        * s0yc_ref[...]
+    ).astype(dt)
+    kys = ky.reshape(G, group, 32, H2)
+
+    outs = []
+    for r in range(group):
+        p2_r = p2s[:, :, r, 32 * r: 32 * (r + 1)]  # (G, H2, 32)
+        ky_r = kys[:, r]                           # (G, 32, H2)
+        o = jax.lax.dot_general(
+            ky_r, p2_r, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(out_ref.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=1)  # (G, M, 32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "num_levels", "tile", "group", "interpret"),
+)
+def corr_fused_xy_from_vol(
+    vol_blk: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 128,
+    group: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x-first lookup from a :func:`build_xy_volume` cache (same tile/group).
+
+    Same contract and numerics as :func:`corr_fused_xy_prepared`; use when
+    several lookups share the same feature maps (update rounds within one
+    keyframe step)."""
+    E, TG, gH2, W2 = vol_blk.shape
+    H2 = gH2 // group
+    _, H, W, _ = coords.shape
+    P_in = H * W
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    assert TG == P_in // group, (TG, P_in, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    g0yc, s0yc, g0xt, s0xt, inv_m = _xy_tables(H2, W2, radius, num_levels, M)
+
+    flat = coords.reshape(E, P_in, 2)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    inv_j = jnp.asarray(inv_m)
+    xm2 = jnp.repeat(cm[..., 0], 32, axis=-1) * inv_j
+    ym2 = jnp.repeat(cm[..., 1], 32, axis=-1) * inv_j
+
+    const = lambda e, t: (0, 0)
+    full = pl.pallas_call(
+        functools.partial(
+            _xy_lookup_kernel, H2=H2, W2=W2, group=group,
+        ),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, G, group * H2, W2), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        interpret=interpret,
+    )(
+        vol_blk, ym2, xm2,
+        jnp.asarray(g0yc), jnp.asarray(s0yc),
+        jnp.asarray(g0xt), jnp.asarray(s0xt),
+    )
+
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        jnp.swapaxes(
+            full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R], -1, -2
+        ).reshape(E, P_in, R * R)
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)
+
+
+# --------------------------------------------------------------------------
 # v6 paired x-first: every MXU dot gets K >= 128 and N >= 128.
 #
 # Measured on v5e (tools/ablate_corr.py): dots with N=64 or K=64 run at

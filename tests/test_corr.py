@@ -160,6 +160,20 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     np.testing.assert_allclose(out5i, ref, atol=0.02 * np.abs(ref).max())
 
+    # v8: round-cached volume (build once, look up many) -- must be
+    # BIT-exact vs the fused v5 kernel (same build dots, same stages)
+    from dbaf_tpu.ops.corr_pallas import (
+        build_xy_volume, corr_fused_xy_from_vol, prepare_corr_fmaps,
+    )
+
+    f1p, f2h = prepare_corr_fmaps(f1, f2)
+    vol8 = build_xy_volume(f1p, f2h, tile=128, group=8, interpret=True)
+    out8 = np.asarray(
+        corr_fused_xy_from_vol(vol8, coords, tile=128, group=8,
+                               interpret=True)
+    )
+    np.testing.assert_array_equal(out8, out5)
+
     # v6: paired x-first (K,N >= 128 on every dot)
     from dbaf_tpu.ops.corr_pallas import corr_fused_xyp_pallas
 

@@ -6,6 +6,7 @@
 Usage: python tools/profile_corr.py [old fused fused2 fusedg2 ...]
 """
 
+import functools
 import os
 import sys
 
@@ -148,8 +149,37 @@ def main():
 
             slope(name, jax.jit(_step), coords0)
 
+    if "v8" in want or "v8build" in want:
+        from dbaf_tpu.ops.corr_pallas import (
+            build_xy_volume, corr_fused_xy_from_vol, prepare_corr_fmaps,
+        )
+
+        f1p, f2h = prepare_corr_fmaps(f1, f2)
+        if "v8build" in want:
+            @jax.jit
+            def v8b_step(f):
+                v = build_xy_volume(f, f2h, tile=256, group=16)
+                return f + 1e-3 * (
+                    jnp.mean(v[:, 0, 0].astype(jnp.float32)) % 1.0
+                ).astype(f.dtype)
+
+            slope("v8build", v8b_step, f1p)
+        if "v8" in want:
+            vol8 = build_xy_volume(f1p, f2h, tile=256, group=16)
+
+            # NB: vol8 must be an ARGUMENT -- capturing a ~1.2 GB device
+            # array as a jit closure constant hangs jax's const embedding.
+            @jax.jit
+            def v8_step(v, c):
+                out = corr_fused_xy_from_vol(v, c, tile=256, group=16)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope("v8lookup", functools.partial(v8_step, vol8), coords0)
+
     for name, kw in (
         ("v5g8", dict(group=8)),
+        ("v5g4", dict(group=4)),
+        ("v5g4t256", dict(group=4, tile=256)),
         ("v5g16", dict(group=16, tile=256)),
         ("v5g16i8", dict(group=16, tile=256, int8=True)),
         ("v5g8i8", dict(group=8, int8=True)),
