@@ -755,7 +755,8 @@ def _xy_tables(H2: int, W2: int, radius: int, num_levels: int, M: int):
 
 def _fused_xy_kernel(
     f1_ref, f2h_ref, ym2_ref, xm2_ref, g0yc_ref, s0yc_ref, g0xt_ref,
-    s0xt_ref, out_ref, *, H2, W2, group, int8=False, y_sub=0,
+    s0xt_ref, out_ref, *scratch, H2, W2, group, int8=False, y_sub=0,
+    y_tab=0,
 ):
     """One pixel tile: in-VMEM volume build, x-first two-stage lookup.
 
@@ -806,6 +807,51 @@ def _fused_xy_kernel(
             preferred_element_type=jnp.float32,
         ).astype(dt)  # (G, H2*group, M)
     p2s = p2.reshape(G, H2, group, M)  # safe sublane split (h, r)
+
+    if y_tab > 1:
+        # table-blockdiag y-stage: the per-slot (32, H2) x (H2, 32) dots
+        # starve the MXU; the earlier y_sub rewrite fixed the dot shape
+        # but paid ~10 ms assembling the block operands.  Here the
+        # BLOCK-DIAGONAL y-kernel is generated straight from extended
+        # tent tables (off-diagonal table offsets of -1e6 make the tent
+        # weight an exact 0), so no ky assembly exists at all; the P2
+        # slices are stacked through a VMEM scratch ref (stores relayout
+        # their operand; concatenate refuses lane-offset operands).
+        # Each kept output element is the identical dot product with
+        # 0-terms appended; executed y FLOPs scale with y_tab.
+        #
+        # MEASURED (v5e, 2026-08-18, SLOPE_N=32, E=64): y_tab=4 16.14 ms
+        # vs per-slot 16.35 ms (y_tab=8 16.63, neutral) -- the scratch
+        # relayout stores eat most of the dot-shape win, leaving ~1.3%.
+        # Wired as the default (graph.py) since the output is exact.
+        S = y_tab
+        assert group % S == 0, (group, S)
+        stack_ref = scratch[0]  # (G, S*H2, 32) VMEM
+        for s in range(group // S):
+            ms = slice(32 * S * s, 32 * S * (s + 1))
+            ym_s = ym2_ref[0, :, ms]  # (G, S*32) ref-level static slice
+            ky4 = (
+                jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(g0yc_ref[...] - ym_s[:, :, None]),
+                )
+                * s0yc_ref[...]
+            ).astype(dt)  # (G, S*32, S*H2), exact block-diagonal
+            # Mosaic refuses to CONCAT lane-offset slices ("offset
+            # mismatch on non-concat dimension") but a STORE relayouts
+            # its operand: stack the S pixels' own P2 columns through a
+            # VMEM scratch ref.
+            for q in range(S):
+                r = S * s + q
+                stack_ref[:, q * H2:(q + 1) * H2, :] = p2s[
+                    :, :, r, 32 * r: 32 * (r + 1)
+                ]
+            o = jax.lax.dot_general(
+                ky4, stack_ref[...], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, S*32, 32)
+            out_ref[0, :, ms, :] = o.astype(out_ref.dtype)
+        return
 
     # compact Y kernels: (G, M, H2), row m uses only its own pixel's slice
     ky = (
@@ -870,11 +916,29 @@ def _fused_xy_kernel(
         out_ref[0] = jnp.concatenate(outs, axis=1)  # (G, M, 32): rows (r, y)
 
 
+def _blockdiag_y_tables(g0yc, s0yc, S: int):
+    """Extend the (M, H2) y-tables to exact block-diagonal (S*32, S*H2):
+    diagonal blocks repeat the 32-row base pattern (rows depend only on
+    m % 32); off-diagonal grid offsets of -1e6 drive the tent weight to
+    an exact 0, so no masking is needed in the kernel."""
+    import numpy as np
+
+    H2 = g0yc.shape[1]
+    base_g = g0yc[:32]
+    base_s = s0yc[:32]
+    G0 = np.full((S * 32, S * H2), -1e6, np.float32)
+    S0 = np.zeros((S * 32, S * H2), np.float32)
+    for q in range(S):
+        G0[32 * q: 32 * (q + 1), H2 * q: H2 * (q + 1)] = base_g
+        S0[32 * q: 32 * (q + 1), H2 * q: H2 * (q + 1)] = base_s
+    return G0, S0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
-        "y_sub",
+        "y_sub", "y_tab",
     ),
 )
 def corr_fused_xy_prepared(
@@ -888,6 +952,7 @@ def corr_fused_xy_prepared(
     interpret: bool = False,
     int8: bool = False,
     y_sub: int = 0,
+    y_tab: int = 0,
 ) -> jnp.ndarray:
     """x-first fused lookup on preprocessed operands (prepare_corr_fmaps).
 
@@ -905,6 +970,9 @@ def corr_fused_xy_prepared(
     M = group * 32
 
     g0yc, s0yc, g0xt, s0xt, inv_m = _xy_tables(H2, W2, radius, num_levels, M)
+    if y_tab > 1:
+        g0yc, s0yc = _blockdiag_y_tables(g0yc, s0yc, y_tab)
+    ysh = g0yc.shape  # (M, H2) or blockdiag (y_tab*32, y_tab*H2)
 
     flat = coords.reshape(E, P_in, 2)
     cm = flat.reshape(E, P_in // group, group, 2)
@@ -916,7 +984,7 @@ def corr_fused_xy_prepared(
     full = pl.pallas_call(
         functools.partial(
             _fused_xy_kernel, H2=H2, W2=W2, group=group, int8=int8,
-            y_sub=y_sub,
+            y_sub=y_sub, y_tab=y_tab,
         ),
         grid=(E, n_tiles),
         compiler_params=pltpu.CompilerParams(
@@ -931,8 +999,8 @@ def corr_fused_xy_prepared(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, H2), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, H2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ysh, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ysh, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
         ],
@@ -942,6 +1010,10 @@ def corr_fused_xy_prepared(
         ),
         out_shape=jax.ShapeDtypeStruct(
             (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((G, y_tab * H2, 32), jnp.bfloat16)]
+            if y_tab > 1 else []
         ),
         interpret=interpret,
     )(
@@ -966,7 +1038,7 @@ def corr_fused_xy_prepared(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
-        "y_sub",
+        "y_sub", "y_tab",
     ),
 )
 def corr_fused_xy_pallas(
@@ -980,12 +1052,13 @@ def corr_fused_xy_pallas(
     interpret: bool = False,
     int8: bool = False,
     y_sub: int = 0,
+    y_tab: int = 0,
 ) -> jnp.ndarray:
     """x-first fused correlation build + lookup (see corr_fused_xy_prepared)."""
     f1p, f2h = prepare_corr_fmaps(fmap1, fmap2)
     return corr_fused_xy_prepared(
         f1p, f2h, coords, radius, num_levels, tile=tile, group=group,
-        interpret=interpret, int8=int8, y_sub=y_sub,
+        interpret=interpret, int8=int8, y_sub=y_sub, y_tab=y_tab,
     )
 
 

@@ -177,9 +177,12 @@ def make_update_kernel(
             # ---- multi-scale correlation lookup, fused over levels
             # (fused build+lookup Pallas kernel on TPU, channels-last)
             if blk_corr:
+                # y_tab=4: table-blockdiag y-stage (exact; ~1.3% faster,
+                # see corr_pallas.py ablation notes)
                 corr = corr_fused_xy_prepared(
                     f1p, f2h, coords1, radius, tile=corr_tile, group=grp,
                     int8=bool(cfg.graph.corr_int8),
+                    y_tab=4 if grp % 4 == 0 else 0,
                 )
             else:
                 corr = corr_ops.lookup_auto(vol, coords1, radius)

@@ -160,6 +160,14 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     np.testing.assert_allclose(out5i, ref, atol=0.02 * np.abs(ref).max())
 
+    # y_tab=4: table-blockdiag y-stage (wired default on TPU) -- same
+    # dot products with exact-zero terms appended, so near-bit parity
+    out5t = np.asarray(
+        corr_fused_xy_pallas(f1, f2, coords, tile=128, group=8,
+                             interpret=True, y_tab=4)
+    )
+    np.testing.assert_allclose(out5t, out5, atol=1e-4)
+
     # v8: round-cached volume (build once, look up many) -- must be
     # BIT-exact vs the fused v5 kernel (same build dots, same stages)
     from dbaf_tpu.ops.corr_pallas import (

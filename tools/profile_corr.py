@@ -184,6 +184,9 @@ def main():
         ("v5g16i8", dict(group=16, tile=256, int8=True)),
         ("v5g8i8", dict(group=8, int8=True)),
         ("v5g16y4", dict(group=16, tile=256, y_sub=4)),
+        ("v5g16yt4", dict(group=16, tile=256, y_tab=4)),
+        ("v5g16yt8", dict(group=16, tile=256, y_tab=8)),
+        ("v5g8yt4", dict(group=8, y_tab=4)),
         ("v5g16y8", dict(group=16, tile=256, y_sub=8)),
         ("v5g16y16", dict(group=16, tile=256, y_sub=16)),
         ("v5g8y4", dict(group=8, y_sub=4)),
