@@ -75,6 +75,15 @@ class MultiSensorBA:
         self.init_pose_sigma = np.array([0.1, 0.1, 0.0001, 0.0001, 0.0001, 0.0001])
         self.init_bias_sigma = np.array([1.0, 1.0, 1.0, 0.1, 0.1, 0.1])
 
+        # device-resident solve cache (fusion/device_graph.py): the packed
+        # graph + window state stay on the TPU across the rounds of one
+        # keyframe step; sync_host() pulls them back once per update call
+        self._fg_state = None
+        self._fg_pg = None
+        self._fg_key = None
+        self._fg_synced = True
+        self._fg_sel = None
+
     # ------------------------------------------------------------------
     def set_prior(self, t0: int, t1: int):
         """Anchor priors on the first two window states (depth_video.py:307-321).
@@ -247,7 +256,7 @@ class MultiSensorBA:
 
     # ------------------------------------------------------------------
     def ba(self, ii_full, jj_full, valid, target, weight, t1: int,
-           itrs: int = 2):
+           itrs: int = 2, reuse_state: bool = False):
         """One coupled multi-sensor DBA call (depth_video.py:347-559).
 
         ii_full/jj_full/valid: host padded edge endpoints + validity (rows
@@ -262,6 +271,7 @@ class MultiSensorBA:
         t0 = int(min(ii.min(), jj.min()))
 
         if self.last_t1 != t1 or self.last_t0 != t0:
+            self.sync_host()  # marginalization reads host-side state
             if self.last_t0 >= t0:
                 t0 = self.last_t0
             else:
@@ -280,7 +290,15 @@ class MultiSensorBA:
         self.cur_target = _gather_rows(target, jnp.asarray(sel_pad))
         self.cur_weight = _gather_rows(weight, jnp.asarray(sel_pad))
 
+        # device-resident path (SURVEY.md 5.8): the whole coupled call is
+        # one dispatch, zero host syncs; falls back to the host f64 graph
+        # on capacity/layout misses
+        if self.cfg.sensors.device_solver:
+            if self._ba_device(t0, t1, e_cap, reuse_state):
+                return
+
         # build the non-visual graph once
+        self.sync_host()  # host fallback needs current states
         base = FactorGraph()
         if not self.ignore_imu:
             for i in range(t0 + 1, t1):
@@ -360,11 +378,145 @@ class MultiSensorBA:
             )
 
     # ------------------------------------------------------------------
+    def prepare_device(self, ii_full, jj_full, valid, t1: int, itrs: int):
+        """Host prologue for the fused coupled keyframe step
+        (slam/coupled_fused.py): window advance + marginalization + factor
+        packing.  Returns the device operand dict, or None to fall back to
+        the per-round host/device paths."""
+        from ..fusion import device_graph as dg
+        from ..fusion.coupling import ba2fg_block
+
+        ii_full = np.asarray(ii_full)
+        jj_full = np.asarray(jj_full)
+        valid = np.asarray(valid, bool)
+        e_all = len(valid)
+        ii = ii_full[valid]
+        jj = jj_full[valid]
+        t0 = int(min(ii.min(), jj.min()))
+
+        if self.last_t1 != t1 or self.last_t0 != t0:
+            self.sync_host()
+            if self.last_t0 >= t0:
+                t0 = self.last_t0
+            else:
+                self._marginalize(t0, t1, itrs)
+            self.last_t0 = t0
+            self.last_t1 = t1
+
+        NW = self.cfg.sensors.fg_cap
+        P = self.cfg.ba.window
+        n = t1 - t0
+        if n > NW or NW > P:
+            return None
+
+        act = valid & (ii_full >= t0) & (jj_full >= t0)
+        sel = np.nonzero(act)[0]
+        self.cur_ii = ii_full[sel]
+        self.cur_jj = jj_full[sel]
+        sel_pad = np.zeros(e_all, dtype=np.int32)
+        sel_pad[: len(sel)] = sel
+
+        self.sync_host()
+        pg = dg.pack_graph(self, t0, t1, NW)
+        if pg is None:
+            return None
+        fg = dg.pack_state(self, t0, t1, NW)
+        if self._fg_sel is None or self._fg_sel.shape[1] != NW * 6:
+            self._fg_sel = dg.make_sel_pose(NW)
+        ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
+                                           e_all, t0)
+        self._fg_key = (t0, t1)
+        return dict(
+            sel_pad=jnp.asarray(sel_pad), ii_d=ii_d, jj_d=jj_d, mask_d=mask,
+            fg_t0=jnp.asarray(t0, jnp.int32),
+            n_fg=jnp.asarray(n, jnp.int32), fg=fg, pg=pg,
+            A=jnp.asarray(ba2fg_block(self.Tbc), jnp.float32),
+            sel_pose=self._fg_sel,
+        )
+
+    # ------------------------------------------------------------------
+    def _ba_device(self, t0: int, t1: int, e_cap: int,
+                   reuse_state: bool) -> bool:
+        """Run the whole coupled call on-device (fusion/device_graph.py):
+        hessian -> LM -> retract x2 in ONE dispatch, zero host syncs.
+        Returns False (host fallback) on capacity/layout misses.
+
+        Known delta vs the host path: within one keyframe step's rounds
+        the GNSS lever-arm correction stays at the round-0 attitude
+        (sub-mm for cm-scale lever arms); the host rebuilds it per round.
+        """
+        from ..fusion import device_graph as dg
+        from ..fusion.coupling import ba2fg_block
+
+        NW = self.cfg.sensors.fg_cap
+        P = self.cfg.ba.window
+        n = t1 - t0
+        if n > NW or NW > P:
+            return False
+        key = (t0, t1)
+        if not reuse_state or self._fg_key != key or self._fg_state is None:
+            self.sync_host()
+            pg = dg.pack_graph(self, t0, t1, NW)
+            if pg is None:
+                return False
+            self._fg_pg = pg
+            self._fg_state = dg.pack_state(self, t0, t1, NW)
+            self._fg_key = key
+        if self._fg_sel is None or self._fg_sel.shape[1] != NW * 6:
+            self._fg_sel = dg.make_sel_pose(NW)
+
+        ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
+                                           e_cap, t0)
+        A = jnp.asarray(ba2fg_block(self.Tbc), jnp.float32)
+        self.video.poses, self.video.disps, self._fg_state = (
+            dg.coupled_rounds_device(
+                self.video.poses, self.video.disps, self.video.damping,
+                self.video.intrinsics, self.cur_target, self.cur_weight,
+                ii_d, jj_d, mask,
+                jnp.asarray(t0, jnp.int32), jnp.asarray(n, jnp.int32),
+                self._fg_state, self._fg_pg, A, self._fg_sel,
+                P=P, NW=NW, n_iters=2,
+                eps_damping=self.cfg.ba.eps_damping,
+            )
+        )
+        self._fg_synced = False
+        return True
+
+    def sync_host(self):
+        """Pull the device window states back into the host factor-graph
+        bookkeeping (once per keyframe step, not per iteration)."""
+        if self._fg_synced or self._fg_state is None or self._fg_key is None:
+            return
+        t0, t1 = self._fg_key
+        R, t, vel, bias = jax.device_get(
+            (self._fg_state.R, self._fg_state.t, self._fg_state.vel,
+             self._fg_state.bias)
+        )
+        result = Values()
+        for i in range(t0, t1):
+            f = i - t0
+            self.state.wTbs[i] = Pose(np.asarray(R[f], np.float64),
+                                      np.asarray(t[f], np.float64))
+            self.state.vs[i] = np.asarray(vel[f], np.float64)
+            self.state.bs[i] = np.asarray(bias[f], np.float64)
+            result[X(i)] = self.state.wTbs[i]
+            result[V(i)] = self.state.vs[i]
+            result[B(i)] = self.state.bs[i]
+        self.cur_result = result
+        self._fg_synced = True
+
+    # ------------------------------------------------------------------
     def __getstate__(self):
         """Picklable snapshot: device arrays -> numpy, video unlinked
         (re-attached by DBAFusion.load_state)."""
+        self.sync_host()
         d = dict(self.__dict__)
         d["video"] = None
+        d["_fg_state"] = None
+        d["_fg_pg"] = None
+        d["_fg_key"] = None
+        d["_fg_sel"] = None
+        d["_fg_synced"] = True
         for k in ("cur_target", "cur_weight"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k])

@@ -1,0 +1,99 @@
+"""Fused multi-round coupled keyframe step: ONE dispatch per update() call.
+
+The sync coupled path issues ~3 dispatches per update round (update kernel,
+edge gather, solve) and on a remote-transport TPU each dispatch costs a
+round trip, dominating the keyframe budget.  This composes the update
+kernel's raw body (slam/graph.py) with the device factor-graph solve
+(fusion/device_graph.py) inside one ``lax.fori_loop``, so a whole
+``update(rounds=iters1)`` call -- reprojection, correlation, GRU, reduced
+camera system, factor-graph LM x2, retraction, times ``rounds`` -- is a
+single jit dispatch with zero host syncs.  The coupled analog of the
+visual-only async step (slam/async_pipeline.py).
+
+Reference flow being fused: dbaf_frontend.py:243-257 (iters1/iters2 rounds
+of covisible_graph.update -> depth_video.ba multi-sensor branch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fusion import device_graph as dg
+from ..ops import dba
+from ..utils.config import DBAFusionConfig
+
+
+def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
+    """Build the fused kernel around an update kernel's ``.raw`` body."""
+    P = cfg.ba.window
+    # host_pack layout of the update kernel (graph.py host_metrics):
+    # [cull_dist] ++ 5*frontend_window proximity candidates ++ skip edges
+    wf = cfg.graph.frontend_window
+    n_skip = len(cfg.graph.skip_edge) if wf == 5 else 0
+    pack_len = 1 + 5 * wf + n_skip
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("rounds", "iters", "use_inactive", "use_sens"),
+        donate_argnums=(0, 1, 8, 9, 10),
+    )
+    def fused(
+        # video buffers
+        poses, disps, disps_sens, damping, intrinsics, fmaps_buf, inps_buf,
+        fmaps_right_buf,
+        # active + inactive edges (device)
+        e_net, e_target, e_weight, ii, jj, e_mask,
+        it_target, it_weight, ii_i, jj_i, i_mask,
+        # scalars
+        t0, t1, s0, imu_enabled, aux,
+        # coupled-solve operands
+        sel_pad,            # (E_all,) rows of (inactive ++ active) to keep
+        ii_d, jj_d, mask_d,  # window edge args (coupled._edge_args)
+        fg_t0, n_fg,        # factor-graph window [t0c, t0c+n)
+        fg, pg, A, sel_pose,
+        # static
+        rounds: int, iters: int, use_inactive: bool, use_sens: bool,
+    ):
+        def one(_, carry):
+            poses, disps, e_net, e_target, e_weight, fg, _, _, _ = carry
+            res, (t_all, w_ba) = update_raw(
+                poses, disps, disps_sens, damping, intrinsics, fmaps_buf,
+                inps_buf, fmaps_right_buf,
+                e_net, e_target, e_weight, ii, jj, e_mask,
+                it_target, it_weight, ii_i, jj_i, i_mask,
+                t0, t1, s0, imu_enabled, aux,
+                jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+                iters=iters, use_inactive=use_inactive, do_ba=False,
+                use_sens=use_sens, seed_next=False, mega=False,
+            )
+            cur_target = t_all[sel_pad]
+            cur_weight = w_ba[sel_pad]
+            poses, disps, fg = dg.coupled_rounds_body(
+                res.poses, res.disps, damping, intrinsics,
+                cur_target, cur_weight, ii_d, jj_d, mask_d,
+                fg_t0, n_fg, fg, pg, A, sel_pose,
+                P=P, NW=NW, n_iters=2, eps_damping=cfg.ba.eps_damping,
+            )
+            return (poses, disps, res.edges.net, res.edges.target,
+                    res.edges.weight, fg, res.host_pack,
+                    cur_target, cur_weight)
+
+        E_all = sel_pad.shape[0]
+        H, W = e_target.shape[1], e_target.shape[2]
+        carry = jax.lax.fori_loop(
+            0, rounds, one,
+            (poses, disps, e_net, e_target, e_weight, fg,
+             jnp.zeros((pack_len,), jnp.float32),
+             jnp.zeros((E_all, H, W, 2), jnp.float32),
+             jnp.zeros((E_all, H, W, 2), jnp.float32)),
+        )
+        (poses, disps, e_net, e_target, e_weight, fg, host_pack,
+         cur_target, cur_weight) = carry
+        edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+        return (poses, disps, e_net, e_target, e_weight, edge_conf,
+                host_pack, cur_target, cur_weight, fg)
+
+    return fused

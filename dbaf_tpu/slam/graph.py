@@ -451,6 +451,7 @@ class CovisibleGraph:
 
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
+        self._coupled_fused = None  # lazy fused coupled keyframe kernel
         self._host_pack_dev = None  # [cull_dist, prox...] from last update
         self._host_pack_np = None
         self._host_pack_t1 = -1
@@ -703,7 +704,13 @@ class CovisibleGraph:
         coupled_mode = self.video.imu_enabled and self.coupled is not None
         self._flush()
 
-        for _ in range(rounds if coupled_mode else 1):
+        if coupled_mode and self.cfg.sensors.device_solver:
+            if self._update_coupled_fused(rounds, iters, use_inactive,
+                                          t0, t1, s0):
+                self.age += rounds
+                return
+
+        for round_idx in range(rounds if coupled_mode else 1):
             e_mask = np.zeros(self.e_cap, dtype=bool)
             e_mask[: self.n] = True
             i_mask = np.zeros(self.i_cap, dtype=bool)
@@ -755,7 +762,7 @@ class CovisibleGraph:
                     jj_full = np.asarray(self._padded(self.jj))
                     valid = e_mask
                 self.coupled.ba(ii_full, jj_full, valid, t_all, w_ba, t1,
-                                itrs=iters)
+                                itrs=iters, reuse_state=round_idx > 0)
             else:
                 res = out
                 self.edges = res.edges
@@ -766,7 +773,85 @@ class CovisibleGraph:
             self._host_pack_np = None
             self._host_pack_t1 = t1
             self._prox_offset = 1
+        if coupled_mode:
+            # device-solver path: ONE state pull per update call, after
+            # all rounds (no-op on the host-solver path)
+            self.coupled.sync_host()
         self.age += rounds
+
+    # ------------------------------------------------------------------
+    def _update_coupled_fused(self, rounds: int, iters: int,
+                              use_inactive: bool, t0: int, t1: int,
+                              s0: int) -> bool:
+        """Fused multi-round coupled keyframe step: ONE dispatch for all
+        ``rounds`` (update round + factor-graph solve + retraction each),
+        slam/coupled_fused.py.  Returns False to fall back to the
+        per-round path (window exceeds fg_cap / unsupported factors)."""
+        e_mask = np.zeros(self.e_cap, dtype=bool)
+        e_mask[: self.n] = True
+        i_mask = np.zeros(self.i_cap, dtype=bool)
+        i_mask[: len(self.ii_inac)] = True
+        ii_p = np.asarray(self._padded(self.ii))
+        jj_p = np.asarray(self._padded(self.jj))
+        if use_inactive:
+            ii_ip = np.asarray(self._padded_inac(self.ii_inac))
+            jj_ip = np.asarray(self._padded_inac(self.jj_inac))
+            keep_i = i_mask & (ii_ip >= t0 - self.cfg.graph.inac_range) & (
+                jj_ip >= t0 - self.cfg.graph.inac_range
+            )
+            ii_full = np.concatenate([ii_ip, ii_p])
+            jj_full = np.concatenate([jj_ip, jj_p])
+            valid = np.concatenate([keep_i, e_mask])
+        else:
+            ii_full, jj_full, valid = ii_p, jj_p, e_mask
+
+        prep = self.coupled.prepare_device(ii_full, jj_full, valid, t1,
+                                           iters)
+        if prep is None:
+            return False
+
+        NW = self.cfg.sensors.fg_cap
+        if self._coupled_fused is None:
+            from .coupled_fused import make_coupled_fused
+            self._coupled_fused = make_coupled_fused(
+                self._kernel.raw, self.cfg, NW
+            )
+
+        out = self._coupled_fused(
+            self.video.poses, self.video.disps, self.video.disps_sens,
+            self.video.damping, self.video.intrinsics, self.video.fmaps,
+            self.video.inps, self.video.fmaps_right,
+            self.edges.net, self.edges.target, self.edges.weight,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(e_mask),
+            self.t_inac, self.w_inac,
+            self._padded_inac(self.ii_inac),
+            self._padded_inac(self.jj_inac), jnp.asarray(i_mask),
+            jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+            jnp.asarray(s0, jnp.int32),
+            jnp.asarray(True, dtype=bool),
+            self.aux,
+            prep["sel_pad"], prep["ii_d"], prep["jj_d"], prep["mask_d"],
+            prep["fg_t0"], prep["n_fg"], prep["fg"], prep["pg"],
+            prep["A"], prep["sel_pose"],
+            rounds=rounds, iters=iters, use_inactive=use_inactive,
+            use_sens=self.video.has_depth,
+        )
+        (poses, disps, e_net, e_target, e_weight, edge_conf, host_pack,
+         cur_target, cur_weight, fg) = out
+        self.video.poses = poses
+        self.video.disps = disps
+        self.edges = EdgeArrays(e_net, e_target, e_weight)
+        self._conf_dev = edge_conf
+        self._host_pack_dev = host_pack
+        self._host_pack_np = None
+        self._host_pack_t1 = t1
+        self._prox_offset = 1
+        self.coupled.cur_target = cur_target
+        self.coupled.cur_weight = cur_weight
+        self.coupled._fg_state = fg
+        self.coupled._fg_synced = False
+        self.coupled.sync_host()
+        return True
 
     # ------------------------------------------------------------------
     def update_mega(

@@ -93,6 +93,12 @@ class SensorConfig:
     Tbc: Optional[np.ndarray] = None
     # GNSS lever arm in body frame
     tbg: Optional[np.ndarray] = None
+    # device-resident coupled solve: run the factor-graph LM on the TPU
+    # fused with the visual hessian/retraction (zero host round trips per
+    # coupled iteration, SURVEY.md 5.8); falls back to the host f64 path
+    # when the window exceeds fg_cap or on unsupported factor layouts
+    device_solver: bool = False
+    fg_cap: int = 20                 # static factor-graph window capacity
 
 
 @dataclass

@@ -91,7 +91,8 @@ class MsHarness:
 
 
 @pytest.mark.slow
-def test_multisensor_e2e_coupled_tracking():
+@pytest.mark.parametrize("device_solver", [False, True])
+def test_multisensor_e2e_coupled_tracking(device_solver):
     n_frames = 26
     imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
@@ -113,6 +114,7 @@ def test_multisensor_e2e_coupled_tracking():
     gt_disps = np.stack(gt_disps).astype(np.float32)
 
     cfg = make_cfg(vi_warmup=12, keyframe_thresh=-1.0, rollup_start=1000)
+    cfg.sensors.device_solver = device_solver
     h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr, imu_rows)
     for k in range(n_frames):
         h.feed(k)
