@@ -217,6 +217,93 @@ def _sel_pose(NW: int) -> np.ndarray:
     return S
 
 
+def _graph_spec(NW: int, PP: int, PB: int, MK: int):
+    """(name, shape, kind) per PackedGraph field, in field order.  The
+    flat-buffer layout for single-upload graph transfer (kind: 'f' f32,
+    'b' bool stored as 0/1, 'i' small int stored exactly in f32)."""
+    NF = NW - 1
+    by_name = dict(
+        imu_mask=((NF,), "b"), imu_dR=((NF, 3, 3), "f"),
+        imu_dv=((NF, 3), "f"), imu_dp=((NF, 3), "f"), imu_dt=((NF,), "f"),
+        imu_dRg=((NF, 3, 3), "f"), imu_dvg=((NF, 3, 3), "f"),
+        imu_dva=((NF, 3, 3), "f"), imu_dpg=((NF, 3, 3), "f"),
+        imu_dpa=((NF, 3, 3), "f"), imu_bias0=((NF, 6), "f"),
+        imu_info=((NF, 15, 15), "f"), g_vec=((3,), "f"),
+        pp_mask=((PP,), "b"), pp_frame=((PP,), "i"),
+        pp_R=((PP, 3, 3), "f"), pp_t=((PP, 3), "f"),
+        pp_info=((PP, 6, 6), "f"),
+        pb_mask=((PB,), "b"), pb_frame=((PB,), "i"),
+        pb_prior=((PB, 6), "f"), pb_info=((PB, 6, 6), "f"),
+        gnss_mask=((NW,), "b"), gnss_pos=((NW, 3), "f"),
+        gnss_info=((3, 3), "f"), gnss_k2=((), "f"),
+        odo_mask=((NW,), "b"), odo_vel=((NW, 3), "f"),
+        odo_info=((3, 3), "f"),
+        mg_mask=((MK,), "b"), mg_type=((MK,), "i"), mg_frame=((MK,), "i"),
+        mg_linR=((MK, 3, 3), "f"), mg_lint=((MK, 3), "f"),
+        mg_linvec=((MK, 6), "f"),
+        mg_H=((MK * 15, MK * 15), "f"), mg_v=((MK * 15,), "f"),
+    )
+    return [(n, *by_name[n]) for n in PackedGraph._fields]
+
+
+def flatten_graph_np(d: dict, NW: int, PP: int = 4, PB: int = 4,
+                     MK: int = 12) -> np.ndarray:
+    """Host dict of numpy arrays -> ONE flat f32 buffer (single H2D)."""
+    parts = []
+    for name, shape, _ in _graph_spec(NW, PP, PB, MK):
+        a = np.asarray(d[name], np.float32).reshape(-1)
+        assert a.size == int(np.prod(shape, dtype=int)), name
+        parts.append(a)
+    return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+
+def unflatten_graph(flat, NW: int, PP: int = 4, PB: int = 4,
+                    MK: int = 12) -> PackedGraph:
+    """Flat device buffer -> PackedGraph, static slices (call inside jit)."""
+    out = {}
+    o = 0
+    for name, shape, kind in _graph_spec(NW, PP, PB, MK):
+        sz = int(np.prod(shape, dtype=int))
+        a = flat[o: o + sz].reshape(shape)
+        if kind == "b":
+            a = a > 0.5
+        elif kind == "i":
+            a = a.astype(jnp.int32)
+        out[name] = a
+        o += sz
+    return PackedGraph(**out)
+
+
+def graph_flat_size(NW: int, PP: int = 4, PB: int = 4, MK: int = 12) -> int:
+    return sum(int(np.prod(s, dtype=int))
+               for _, s, _ in _graph_spec(NW, PP, PB, MK))
+
+
+# per-frame 21-wide state row: [R.ravel(9) | t(3) | vel(3) | bias(6)]
+def flatten_state_np(R, t, vel, bias) -> np.ndarray:
+    NW = R.shape[0]
+    return np.concatenate(
+        [R.reshape(NW, 9), t, vel, bias], axis=1
+    ).astype(np.float32).reshape(-1)
+
+
+def flatten_state(fg: FgState):
+    """In-jit FgState -> flat (NW*21,) f32 (single D2H on sync)."""
+    NW = fg.R.shape[0]
+    return jnp.concatenate(
+        [fg.R.reshape(NW, 9), fg.t, fg.vel, fg.bias], axis=1
+    ).reshape(-1)
+
+
+def unflatten_state(flat, n, NW: int) -> FgState:
+    """Flat buffer + live count -> FgState (valid = arange < n)."""
+    rows = flat.reshape(NW, 21)
+    return FgState(
+        rows[:, :9].reshape(NW, 3, 3), rows[:, 9:12], rows[:, 12:15],
+        rows[:, 15:21], jnp.arange(NW) < n,
+    )
+
+
 # ---------------------------------------------------------------------------
 # linearization
 # ---------------------------------------------------------------------------
@@ -527,9 +614,6 @@ def _lm_optimize_hp(state, pg, vis_H, vis_v, vis_linR, vis_lint, sel_pose,
 # ---------------------------------------------------------------------------
 
 
-_LM_ITERS = []  # trace-time debug: per-LM iteration counters
-
-
 def coupled_rounds_body(
     poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
     ii_d, jj_d, mask, t0, n, fg: FgState, pg: PackedGraph, A, sel_pose,
@@ -538,13 +622,17 @@ def coupled_rounds_body(
     """The whole multi-sensor DBA call of depth_video.py:524-558 in one
     dispatch: reduced camera system -> body conversion (BA2GTSAM) ->
     factor-graph LM -> GTSAM2BA dx -> depth back-substitution+retraction,
-    alternated ``n_iters`` times with in-dispatch relinearization."""
+    alternated ``n_iters`` times with in-dispatch relinearization.
+
+    Also returns (n_iters,) int32 realized-LM-iteration counts so the
+    profiler can see the while_loop's actual trip counts."""
     from ..ops import dba
 
     S, v = dba.coupled_hessian_full(
         poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
         ii_d, jj_d, mask, t0, n, P=P, eps_damping=eps_damping,
     )
+    lm_its = []
     for it in range(n_iters):
         with jax.default_matmul_precision("highest"):
             H4 = S[: NW * 6, : NW * 6].reshape(NW, 6, NW, 6)
@@ -553,7 +641,7 @@ def coupled_rounds_body(
             vb = jnp.einsum(
                 "ca,ic->ia", A, v[: NW * 6].reshape(NW, 6)).reshape(-1)
         fg2, (_, lm_it) = lm_optimize(fg, pg, Hb, vb, fg.R, fg.t, sel_pose)
-        _LM_ITERS.append(lm_it)
+        lm_its.append(lm_it)
         dxb = jax.vmap(_se3_local)(fg.R, fg.t, fg2.R, fg2.t)
         dxb = dxb * fg.valid[:, None].astype(dxb.dtype)
         dxc = jnp.einsum("ab,ib->ia", A, dxb)
@@ -564,12 +652,29 @@ def coupled_rounds_body(
             eps_damping=eps_damping, with_hessian=(it + 1 < n_iters),
         )
         fg = fg2
-    return poses_buf, disps_buf, fg
+    return poses_buf, disps_buf, fg, jnp.stack(lm_its)
 
 
-coupled_rounds_device = functools.partial(
+@functools.partial(
     jax.jit, static_argnames=("P", "NW", "n_iters", "eps_damping"),
-)(coupled_rounds_body)
+)
+def coupled_rounds_device(
+    poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
+    ii_d, jj_d, mask, t0, n, fg_flat, pg_flat, A,
+    P: int, NW: int, n_iters: int = 2, eps_damping: float = 1e-7,
+):
+    """Flat-operand jit wrapper around :func:`coupled_rounds_body`: the
+    graph and state arrive as single flat buffers (one H2D each on the
+    remote transport) and the state returns flat (one D2H on sync)."""
+    fg = unflatten_state(fg_flat, n, NW)
+    pg = unflatten_graph(pg_flat, NW)
+    sel_pose = jnp.asarray(_sel_pose(NW))
+    poses, disps, fg2, lm_its = coupled_rounds_body(
+        poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
+        ii_d, jj_d, mask, t0, n, fg, pg, A, sel_pose,
+        P=P, NW=NW, n_iters=n_iters, eps_damping=eps_damping,
+    )
+    return poses, disps, flatten_state(fg2), lm_its
 
 
 # ---------------------------------------------------------------------------
@@ -582,9 +687,29 @@ def make_sel_pose(NW: int) -> jnp.ndarray:
 
 
 def pack_graph(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
-               MK: int = 12) -> PackedGraph:
+               MK: int = 12):
+    """Pack the MultiSensorBA window graph into fixed-capacity device
+    arrays (one upload per field; tests/CPU).  None on capacity miss."""
+    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB, MK)
+    if arrs is None:
+        return None
+    return PackedGraph(**{k: jnp.asarray(v) for k, v in arrs.items()})
+
+
+def pack_graph_flat(msba, t0: int, t1: int, NW: int, PP: int = 4,
+                    PB: int = 4, MK: int = 12):
+    """Pack the window graph into ONE flat f32 host buffer (single H2D;
+    unflatten_graph inside the jit).  None on capacity miss."""
+    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB, MK)
+    if arrs is None:
+        return None
+    return flatten_graph_np(arrs, NW, PP, PB, MK)
+
+
+def pack_graph_np(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
+                  MK: int = 12):
     """Pack the MultiSensorBA window graph (slam/coupled.py:284-307 `base`)
-    into fixed-capacity device arrays.  Returns None if the layout exceeds
+    into fixed-capacity numpy arrays.  Returns None if the layout exceeds
     a capacity (caller falls back to the host solver)."""
     from .factors import PriorPose, PriorVec, X
     n = t1 - t0
@@ -712,14 +837,13 @@ def pack_graph(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
                 mg["mg_H"][ra: ra + da, rb: rb + db] = (
                     mf.H[sa: sa + da, sb: sb + db])
 
-    arrs = dict(**imu, g_vec=g_vec, **pp, **pb, **gnss,
+    return dict(**imu, g_vec=g_vec, **pp, **pb, **gnss,
                 gnss_info=GNSS_NOISE.information.astype(f32),
                 gnss_k2=np.asarray(GNSS_NOISE.cauchy_k**2, f32),
                 **odo, odo_info=ODO_NOISE.information.astype(f32), **mg)
-    return PackedGraph(**{k: jnp.asarray(v) for k, v in arrs.items()})
 
 
-def pack_state(msba, t0: int, t1: int, NW: int) -> FgState:
+def pack_state_np(msba, t0: int, t1: int, NW: int):
     f32 = np.float32
     R = np.tile(np.eye(3, dtype=f32), (NW, 1, 1))
     t = np.zeros((NW, 3), f32)
@@ -733,4 +857,16 @@ def pack_state(msba, t0: int, t1: int, NW: int) -> FgState:
         vel[f] = msba.state.vs[i]
         bias[f] = msba.state.bs[i]
         valid[f] = True
-    return FgState(*(jnp.asarray(a) for a in (R, t, vel, bias, valid)))
+    return R, t, vel, bias, valid
+
+
+def pack_state(msba, t0: int, t1: int, NW: int) -> FgState:
+    return FgState(*(jnp.asarray(a)
+                     for a in pack_state_np(msba, t0, t1, NW)))
+
+
+def pack_state_flat(msba, t0: int, t1: int, NW: int) -> np.ndarray:
+    """ONE flat (NW*21,) f32 host buffer; unflatten_state inside the jit
+    (valid is derived from the live count n = t1 - t0)."""
+    R, t, vel, bias, _ = pack_state_np(msba, t0, t1, NW)
+    return flatten_state_np(R, t, vel, bias)

@@ -82,7 +82,8 @@ class MultiSensorBA:
         self._fg_pg = None
         self._fg_key = None
         self._fg_synced = True
-        self._fg_sel = None
+        self._A_dev = None
+        self._lm_stats = None  # (n_iters,) realized LM iterations
 
     # ------------------------------------------------------------------
     def set_prior(self, t0: int, t1: int):
@@ -384,7 +385,6 @@ class MultiSensorBA:
         packing.  Returns the device operand dict, or None to fall back to
         the per-round host/device paths."""
         from ..fusion import device_graph as dg
-        from ..fusion.coupling import ba2fg_block
 
         ii_full = np.asarray(ii_full)
         jj_full = np.asarray(jj_full)
@@ -417,21 +417,18 @@ class MultiSensorBA:
         sel_pad[: len(sel)] = sel
 
         self.sync_host()
-        pg = dg.pack_graph(self, t0, t1, NW)
-        if pg is None:
+        pgf = dg.pack_graph_flat(self, t0, t1, NW)
+        if pgf is None:
             return None
-        fg = dg.pack_state(self, t0, t1, NW)
-        if self._fg_sel is None or self._fg_sel.shape[1] != NW * 6:
-            self._fg_sel = dg.make_sel_pose(NW)
+        fg = jnp.asarray(dg.pack_state_flat(self, t0, t1, NW))
         ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
                                            e_all, t0)
         self._fg_key = (t0, t1)
         return dict(
             sel_pad=jnp.asarray(sel_pad), ii_d=ii_d, jj_d=jj_d, mask_d=mask,
             fg_t0=jnp.asarray(t0, jnp.int32),
-            n_fg=jnp.asarray(n, jnp.int32), fg=fg, pg=pg,
-            A=jnp.asarray(ba2fg_block(self.Tbc), jnp.float32),
-            sel_pose=self._fg_sel,
+            n_fg=jnp.asarray(n, jnp.int32), fg=fg, pg=jnp.asarray(pgf),
+            A=self._A_block(),
         )
 
     # ------------------------------------------------------------------
@@ -446,7 +443,6 @@ class MultiSensorBA:
         (sub-mm for cm-scale lever arms); the host rebuilds it per round.
         """
         from ..fusion import device_graph as dg
-        from ..fusion.coupling import ba2fg_block
 
         NW = self.cfg.sensors.fg_cap
         P = self.cfg.ba.window
@@ -456,25 +452,22 @@ class MultiSensorBA:
         key = (t0, t1)
         if not reuse_state or self._fg_key != key or self._fg_state is None:
             self.sync_host()
-            pg = dg.pack_graph(self, t0, t1, NW)
-            if pg is None:
+            pgf = dg.pack_graph_flat(self, t0, t1, NW)
+            if pgf is None:
                 return False
-            self._fg_pg = pg
-            self._fg_state = dg.pack_state(self, t0, t1, NW)
+            self._fg_pg = jnp.asarray(pgf)
+            self._fg_state = jnp.asarray(dg.pack_state_flat(self, t0, t1, NW))
             self._fg_key = key
-        if self._fg_sel is None or self._fg_sel.shape[1] != NW * 6:
-            self._fg_sel = dg.make_sel_pose(NW)
 
         ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
                                            e_cap, t0)
-        A = jnp.asarray(ba2fg_block(self.Tbc), jnp.float32)
-        self.video.poses, self.video.disps, self._fg_state = (
+        self.video.poses, self.video.disps, self._fg_state, self._lm_stats = (
             dg.coupled_rounds_device(
                 self.video.poses, self.video.disps, self.video.damping,
                 self.video.intrinsics, self.cur_target, self.cur_weight,
                 ii_d, jj_d, mask,
                 jnp.asarray(t0, jnp.int32), jnp.asarray(n, jnp.int32),
-                self._fg_state, self._fg_pg, A, self._fg_sel,
+                self._fg_state, self._fg_pg, self._A_block(),
                 P=P, NW=NW, n_iters=2,
                 eps_damping=self.cfg.ba.eps_damping,
             )
@@ -482,23 +475,31 @@ class MultiSensorBA:
         self._fg_synced = False
         return True
 
+    def _A_block(self):
+        """Cached device copy of the camera->body tangent adjoint
+        (fusion/coupling.py ba2fg_block); Tbc is fixed after init."""
+        if self._A_dev is None:
+            from ..fusion.coupling import ba2fg_block
+            self._A_dev = jnp.asarray(ba2fg_block(self.Tbc), jnp.float32)
+        return self._A_dev
+
     def sync_host(self):
         """Pull the device window states back into the host factor-graph
-        bookkeeping (once per keyframe step, not per iteration)."""
+        bookkeeping (once per keyframe step, not per iteration): ONE flat
+        (NW*21,) D2H transfer (device_graph.flatten_state layout)."""
         if self._fg_synced or self._fg_state is None or self._fg_key is None:
             return
         t0, t1 = self._fg_key
-        R, t, vel, bias = jax.device_get(
-            (self._fg_state.R, self._fg_state.t, self._fg_state.vel,
-             self._fg_state.bias)
-        )
+        NW = self.cfg.sensors.fg_cap
+        rows = np.asarray(
+            jax.device_get(self._fg_state), np.float64).reshape(NW, 21)
         result = Values()
         for i in range(t0, t1):
             f = i - t0
-            self.state.wTbs[i] = Pose(np.asarray(R[f], np.float64),
-                                      np.asarray(t[f], np.float64))
-            self.state.vs[i] = np.asarray(vel[f], np.float64)
-            self.state.bs[i] = np.asarray(bias[f], np.float64)
+            self.state.wTbs[i] = Pose(rows[f, :9].reshape(3, 3),
+                                      rows[f, 9:12])
+            self.state.vs[i] = rows[f, 12:15]
+            self.state.bs[i] = rows[f, 15:21]
             result[X(i)] = self.state.wTbs[i]
             result[V(i)] = self.state.vs[i]
             result[B(i)] = self.state.bs[i]
@@ -515,8 +516,9 @@ class MultiSensorBA:
         d["_fg_state"] = None
         d["_fg_pg"] = None
         d["_fg_key"] = None
-        d["_fg_sel"] = None
+        d["_A_dev"] = None
         d["_fg_synced"] = True
+        d["_lm_stats"] = None
         for k in ("cur_target", "cur_weight"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k])

@@ -53,12 +53,17 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
         sel_pad,            # (E_all,) rows of (inactive ++ active) to keep
         ii_d, jj_d, mask_d,  # window edge args (coupled._edge_args)
         fg_t0, n_fg,        # factor-graph window [t0c, t0c+n)
-        fg, pg, A, sel_pose,
+        fg_flat, pg_flat, A,  # flat graph/state buffers (one H2D each)
         # static
         rounds: int, iters: int, use_inactive: bool, use_sens: bool,
     ):
-        def one(_, carry):
-            poses, disps, e_net, e_target, e_weight, fg, _, _, _ = carry
+        fg = dg.unflatten_state(fg_flat, n_fg, NW)
+        pg = dg.unflatten_graph(pg_flat, NW)
+        sel_pose = jnp.asarray(dg._sel_pose(NW))
+
+        def one(r, carry):
+            (poses, disps, e_net, e_target, e_weight, fg, _, _, _,
+             lm_stats) = carry
             res, (t_all, w_ba) = update_raw(
                 poses, disps, disps_sens, damping, intrinsics, fmaps_buf,
                 inps_buf, fmaps_right_buf,
@@ -71,7 +76,7 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             )
             cur_target = t_all[sel_pad]
             cur_weight = w_ba[sel_pad]
-            poses, disps, fg = dg.coupled_rounds_body(
+            poses, disps, fg, lm_its = dg.coupled_rounds_body(
                 res.poses, res.disps, damping, intrinsics,
                 cur_target, cur_weight, ii_d, jj_d, mask_d,
                 fg_t0, n_fg, fg, pg, A, sel_pose,
@@ -79,7 +84,8 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             )
             return (poses, disps, res.edges.net, res.edges.target,
                     res.edges.weight, fg, res.host_pack,
-                    cur_target, cur_weight)
+                    cur_target, cur_weight,
+                    lm_stats.at[r].set(lm_its))
 
         E_all = sel_pad.shape[0]
         H, W = e_target.shape[1], e_target.shape[2]
@@ -88,12 +94,14 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             (poses, disps, e_net, e_target, e_weight, fg,
              jnp.zeros((pack_len,), jnp.float32),
              jnp.zeros((E_all, H, W, 2), jnp.float32),
-             jnp.zeros((E_all, H, W, 2), jnp.float32)),
+             jnp.zeros((E_all, H, W, 2), jnp.float32),
+             jnp.zeros((rounds, 2), jnp.int32)),
         )
         (poses, disps, e_net, e_target, e_weight, fg, host_pack,
-         cur_target, cur_weight) = carry
+         cur_target, cur_weight, lm_stats) = carry
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
         return (poses, disps, e_net, e_target, e_weight, edge_conf,
-                host_pack, cur_target, cur_weight, fg)
+                host_pack, cur_target, cur_weight, dg.flatten_state(fg),
+                lm_stats)
 
     return fused

@@ -452,6 +452,7 @@ class CovisibleGraph:
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
         self._coupled_fused = None  # lazy fused coupled keyframe kernel
+        self._lm_stats_dev = None   # (rounds, 2) realized LM iterations
         self._host_pack_dev = None  # [cull_dist, prox...] from last update
         self._host_pack_np = None
         self._host_pack_t1 = -1
@@ -832,12 +833,13 @@ class CovisibleGraph:
             self.aux,
             prep["sel_pad"], prep["ii_d"], prep["jj_d"], prep["mask_d"],
             prep["fg_t0"], prep["n_fg"], prep["fg"], prep["pg"],
-            prep["A"], prep["sel_pose"],
+            prep["A"],
             rounds=rounds, iters=iters, use_inactive=use_inactive,
             use_sens=self.video.has_depth,
         )
         (poses, disps, e_net, e_target, e_weight, edge_conf, host_pack,
-         cur_target, cur_weight, fg) = out
+         cur_target, cur_weight, fg, lm_stats) = out
+        self._lm_stats_dev = lm_stats  # (rounds, 2) realized LM iterations
         self.video.poses = poses
         self.video.disps = disps
         self.edges = EdgeArrays(e_net, e_target, e_weight)

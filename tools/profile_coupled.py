@@ -48,6 +48,9 @@ def _wrap(obj, name, label):
     setattr(obj, name, wrapped)
 
 
+LM_STATS = []
+
+
 def instrument():
     """Per-stage wall timers on the coupled device-solver path."""
     from dbaf_tpu.slam.coupled import MultiSensorBA
@@ -58,12 +61,30 @@ def instrument():
     _wrap(MultiSensorBA, "sync_host", "sync_host")
     _wrap(CovisibleGraph, "_update_coupled_fused", "fused_total")
 
+    fn = CovisibleGraph._update_coupled_fused
+
+    def wrapped(self, *a, **k):
+        out = fn(self, *a, **k)
+        if out and self._lm_stats_dev is not None:
+            LM_STATS.append(np.asarray(self._lm_stats_dev))
+        return out
+
+    CovisibleGraph._update_coupled_fused = wrapped
+
 
 def report_stages():
     for k, v in sorted(STAGES.items()):
         v = np.asarray(v)
         print(f"  {k:12s} n={len(v):3d} total={v.sum()*1e3:8.1f} ms "
               f"mean={v.mean()*1e3:7.2f} max={v.max()*1e3:7.2f}", flush=True)
+    if LM_STATS:
+        s = np.concatenate([a.reshape(-1) for a in LM_STATS])
+        tot = np.asarray([a.sum() for a in LM_STATS])
+        print(f"  lm_iters     per-LM mean={s.mean():5.2f} "
+              f"max={s.max()} total/kf mean={tot.mean():6.1f} "
+              f"max={tot.max()}", flush=True)
+        print(f"  lm_iters     first call: {LM_STATS[0].tolist()} "
+              f"last: {LM_STATS[-1].tolist()}", flush=True)
 
 
 def run(device_solver: bool, n_frames: int = 26) -> float:
