@@ -39,7 +39,7 @@ def main(argv=None):
     )
     from ..eval.traj_io import write_tum
     from ..fusion.se3np import Pose
-    from ..ops import lie
+    from ..ops import lie_np
     from ..slam.coupled import MultiSensorBA
     from ..slam.frontend import Frontend
     from ..slam.graph import CovisibleGraph
@@ -103,9 +103,8 @@ def main(argv=None):
         est = np.asarray([graph.coupled.state.wTbs[k].t for k in range(t1)])
         align = "se3"  # metric scale must be recovered
     else:
-        est = np.asarray(
-            [np.asarray(lie.se3_inv(video.poses[k])[:3]) for k in range(t1)]
-        )
+        est = lie_np.se3_inv(
+            np.asarray(video.poses[:t1], np.float64))[:, :3]
         align = "sim3"  # monocular gauge
     rmse = ate_rmse(est, ref, align=align)
     span = float(np.linalg.norm(ref.max(0) - ref.min(0)))

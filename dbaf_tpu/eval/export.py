@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import lie, projective as pj
+from ..ops import lie, lie_np, projective as pj
 
 
 @jax.jit
@@ -62,9 +62,8 @@ def build_reconstruction(
     min_count = 1 if filtered else 0
     mpoints, mcameras, mstamps = {}, {}, {}
     for i in range(N):
-        Twc = np.asarray(
-            lie.se3_matrix(lie.se3_inv(jnp.asarray(poses[i], jnp.float32)))
-        )
+        Twc = lie_np.se3_matrix(
+            lie_np.se3_inv(np.asarray(poses[i], np.float64)))
         mask = (count[i] >= min_count) & (disps[i] > 0.5 * mean_d[i])
         mask = mask.reshape(-1)
         pts = points[i].reshape(-1, 3)[mask]

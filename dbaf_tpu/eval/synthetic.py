@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fusion.se3np import so3_exp
-from ..ops import lie, projective as pj
+from ..ops import lie_np, projective as pj
 
 GRAVITY_W = np.array([0.0, 0.0, -9.807])
 
@@ -25,7 +25,7 @@ def plane_disparity(pose_wc: np.ndarray, intr: np.ndarray, h8: int, w8: int,
     """Ground-truth disparity of the world plane z=z0 for a world->cam
     7-vec pose."""
     fx, fy, cx, cy = intr
-    R = np.asarray(lie.quat_to_matrix(jnp.asarray(pose_wc[3:])))
+    R = lie_np.quat_to_matrix(np.asarray(pose_wc[3:], np.float64))
     t = pose_wc[:3]
     u, v = np.meshgrid(np.arange(w8), np.arange(h8), indexing="xy")
     dirs = np.stack(
@@ -74,9 +74,7 @@ def scene_from_poses(poses_at, n_frames: int, intr: np.ndarray, h8: int,
         Twc = np.eye(4)
         Twc[:3, :3] = R
         Twc[:3, 3] = p
-        pose7 = np.asarray(
-            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
-        )
+        pose7 = lie_np.se3_from_matrix(np.linalg.inv(Twc))
         gt_cw.append(pose7)
         gt_disps.append(plane_disparity(pose7, intr, h8, w8, z0))
     return (

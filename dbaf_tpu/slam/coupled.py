@@ -39,6 +39,12 @@ ODO_NOISE = Noise.sigmas([2.0, 2.0, 2.0])  # depth_video.py:300
 
 
 @jax.jit
+def _stack_Sv(S, v):
+    """[S | v] in one buffer so the host pulls the pair in ONE D2H."""
+    return jnp.concatenate([S, v[:, None]], axis=1)
+
+
+@jax.jit
 def _gather_rows(arr, idx):
     """Fixed-shape row gather (idx padded to arr length) -- keeps the
     coupled path free of shape-dependent recompilation."""
@@ -161,9 +167,9 @@ class MultiSensorBA:
             P=P, eps_damping=self.cfg.ba.eps_damping,
         )
         m = (t1 - t0) * 6
-        H = np.asarray(S, dtype=np.float64)[:m, :m]
-        vv = np.asarray(v, dtype=np.float64)[:m]
-        return H, vv
+        # ONE blocking pull (each D2H costs a full transport round trip)
+        Sv = np.asarray(_stack_Sv(S, v), dtype=np.float64)
+        return Sv[:m, :m], Sv[:m, -1]
 
     def _values_for(self, frames) -> Values:
         vals = Values()

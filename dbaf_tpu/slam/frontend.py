@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fusion.se3np import Pose
-from ..ops import lie
+from ..ops import lie, lie_np
 from ..utils.config import DBAFusionConfig
 from .graph import CovisibleGraph
 from .initialization import init_imu_states, init_gnss, visual_imu_alignment
@@ -246,9 +246,7 @@ class Frontend:
                 Tcw = np.linalg.inv(Twc.matrix())
                 self.video.set_pose(
                     self.t1 - 1,
-                    jnp.asarray(
-                        np.asarray(lie.se3_from_matrix(jnp.asarray(Tcw, jnp.float32)))
-                    ),
+                    jnp.asarray(lie_np.se3_from_matrix(Tcw), jnp.float32),
                 )
 
         # edge lifecycle (dbaf_frontend.py:233-242)
@@ -322,13 +320,11 @@ class Frontend:
             # translation hysteresis (dbaf_frontend.py:319-325): candidates
             # are t1-10..t1-4 (the immediate neighbor t1-3 is excluded)
             lo = self.t1 - 10 if self.t1 > 10 else self.t1 - 6
-            poses = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 3])
-            ref = np.asarray(self.video.poses[self.t1 - 2])
-            rel = np.asarray(
-                lie.se3_mul(
-                    jnp.asarray(poses), lie.se3_inv(jnp.asarray(ref))[None]
-                )
-            )
+            # ONE pull covering both the candidates and the reference row
+            win = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 1],
+                             dtype=np.float64)
+            poses, ref = win[:-2], win[-1]  # excludes neighbor t1-3
+            rel = lie_np.se3_mul(poses, lie_np.se3_inv(ref)[None])
             cam_t = np.linalg.norm(rel[:, :3], axis=1)
             cull = bool(np.any(cam_t < self.translation_threshold))
 

@@ -474,15 +474,21 @@ class CovisibleGraph:
     def n(self) -> int:
         return len(self.ii)
 
-    def _padded(self, arr, fill=0):
+    def _padded_np(self, arr, fill=0):
         out = np.full(self.e_cap, fill, dtype=np.int32)
         out[: len(arr)] = arr
-        return jnp.asarray(out)
+        return out
 
-    def _padded_inac(self, arr, fill=0):
+    def _padded(self, arr, fill=0):
+        return jnp.asarray(self._padded_np(arr, fill))
+
+    def _padded_inac_np(self, arr, fill=0):
         out = np.full(self.i_cap, fill, dtype=np.int32)
         out[: len(arr)] = arr
-        return jnp.asarray(out)
+        return out
+
+    def _padded_inac(self, arr, fill=0):
+        return jnp.asarray(self._padded_inac_np(arr, fill))
 
     # ------------------------------------------------------------------
     def add_factors(self, ii_new, jj_new, remove: bool = False):
@@ -792,11 +798,11 @@ class CovisibleGraph:
         e_mask[: self.n] = True
         i_mask = np.zeros(self.i_cap, dtype=bool)
         i_mask[: len(self.ii_inac)] = True
-        ii_p = np.asarray(self._padded(self.ii))
-        jj_p = np.asarray(self._padded(self.jj))
+        ii_p = self._padded_np(self.ii)
+        jj_p = self._padded_np(self.jj)
         if use_inactive:
-            ii_ip = np.asarray(self._padded_inac(self.ii_inac))
-            jj_ip = np.asarray(self._padded_inac(self.jj_inac))
+            ii_ip = self._padded_inac_np(self.ii_inac)
+            jj_ip = self._padded_inac_np(self.jj_inac)
             keep_i = i_mask & (ii_ip >= t0 - self.cfg.graph.inac_range) & (
                 jj_ip >= t0 - self.cfg.graph.inac_range
             )

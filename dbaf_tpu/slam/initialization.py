@@ -18,7 +18,7 @@ import numpy as np
 from ..fusion.factors import B, CombinedImuFactor, V, X
 from ..fusion.graph import Values
 from ..fusion.se3np import Pose
-from ..ops import lie
+from ..ops import lie_np
 from ..utils import geodesy
 from .coupled import MultiSensorBA
 from .video import DepthVideo
@@ -27,12 +27,12 @@ from .video import DepthVideo
 def body_poses_from_video(
     video: DepthVideo, Tbc: Pose, t1: int, ignore_lever: bool
 ) -> np.ndarray:
-    """wTb 4x4 matrices for frames [0, t1) from the camera pose buffer."""
+    """wTb 4x4 matrices for frames [0, t1) from the camera pose buffer.
+
+    ONE device pull; all pose algebra in host numpy (lie_np) -- on the
+    remote transport each eager lie.* call would cost a round trip."""
     poses = np.asarray(video.poses[:t1], dtype=np.float64)
-    wTcs = np.stack([
-        np.asarray(lie.se3_matrix(lie.se3_inv(jnp.asarray(p, jnp.float32))))
-        for p in poses
-    ]).astype(np.float64)
+    wTcs = lie_np.se3_matrix(lie_np.se3_inv(poses))
     Tcb = Tbc.inverse().matrix()
     if ignore_lever:
         Tcb = Tcb.copy()
@@ -51,17 +51,10 @@ def write_camera_poses(
         Tbc_m = Tbc_m.copy()
         Tbc_m[0:3, 3] = 0.0
     wTcs = np.matmul(wTbs[:t1], Tbc_m)
-    new_poses = []
-    for i in range(t1):
-        Tcw = np.linalg.inv(wTcs[i])
-        new_poses.append(
-            np.asarray(lie.se3_from_matrix(jnp.asarray(Tcw, jnp.float32)))
-        )
-    for i, p in enumerate(new_poses):
-        video.set_pose(i, jnp.asarray(p, jnp.float32))
+    new_poses = lie_np.se3_from_matrix(np.linalg.inv(wTcs))
+    video.set_poses_range(0, new_poses.astype(np.float32))
     if scale is not None and scale > 0:
-        for i in range(t1):
-            video.set_disp(i, video.disps[i] / scale)
+        video.scale_disps(t1, float(scale))
 
 
 def init_imu_states(
@@ -122,9 +115,7 @@ def init_imu_states(
             Twc = Tz @ coupled.Tbc.matrix()
             Tcw = np.linalg.inv(Twc)
             video.set_pose(
-                i, jnp.asarray(
-                    np.asarray(lie.se3_from_matrix(jnp.asarray(Tcw, jnp.float32)))
-                )
+                i, jnp.asarray(lie_np.se3_from_matrix(Tcw), jnp.float32)
             )
 
 

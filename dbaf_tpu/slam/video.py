@@ -33,6 +33,21 @@ def _set_row(buf, idx, value):
     return buf.at[idx].set(value)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_rows(buf, values, start):
+    """Contiguous-range row write (ONE dispatch for a batch of rows)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        buf, values.astype(buf.dtype), start, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scale_rows(buf, n, scale):
+    """Divide rows [0, n) by ``scale`` in one dispatch."""
+    keep = jnp.arange(buf.shape[0]) < n
+    s = jnp.where(keep, 1.0 / scale, 1.0).astype(buf.dtype)
+    return buf * s.reshape((-1,) + (1,) * (buf.ndim - 1))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _set_features(fmaps, nets, inps, idx, fmap, net, inp):
     return (
@@ -191,6 +206,18 @@ class DepthVideo:
 
     def set_pose(self, idx: int, pose: jnp.ndarray):
         self.poses = _set_row(self.poses, idx, pose)
+
+    def set_poses_range(self, start: int, poses):
+        """Write poses for frames [start, start+len) in ONE dispatch."""
+        self.poses = _set_rows(
+            self.poses, jnp.asarray(poses, jnp.float32),
+            jnp.asarray(start, jnp.int32))
+
+    def scale_disps(self, n: int, scale: float):
+        """disps[:n] /= scale in ONE dispatch (init rescale)."""
+        self.disps = _scale_rows(
+            self.disps, jnp.asarray(n, jnp.int32),
+            jnp.asarray(scale, jnp.float32))
 
     def set_disp(self, idx: int, disp: jnp.ndarray):
         self.disps = _set_row(self.disps, idx, disp)

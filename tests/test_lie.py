@@ -122,3 +122,28 @@ def test_vmap_jit_compat(rng):
     out = f(g, xi)
     assert out.shape == (4, 7)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_lie_np_twin_parity(rng):
+    """The numpy twin (ops/lie_np.py, host bookkeeping) matches the jax
+    module exactly on every exported function we use host-side."""
+    from dbaf_tpu.ops import lie_np
+
+    g = random_pose(rng, (8,)).astype(np.float64)
+    h = random_pose(rng, (8,)).astype(np.float64)
+    xi = rng.normal(size=(8, 6)) * 0.3
+
+    pairs = [
+        ("se3_mul", (g, h)), ("se3_inv", (g,)), ("se3_matrix", (g,)),
+        ("se3_log", (g,)), ("se3_exp", (xi,)), ("se3_retr", (g, xi)),
+        ("quat_to_matrix", (g[:, 3:],)),
+    ]
+    for name, args in pairs:
+        a = np.asarray(getattr(lie_np, name)(*args))
+        b = np.asarray(getattr(lie, name)(*[jnp.asarray(x) for x in args]))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+    # matrix -> 7-vec roundtrip through the twin
+    back = lie_np.se3_from_matrix(lie_np.se3_matrix(g))
+    for k in range(8):
+        np.testing.assert_allclose(as_mat(back[k]), as_mat(g[k]), atol=1e-9)
