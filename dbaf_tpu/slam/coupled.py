@@ -90,6 +90,7 @@ class MultiSensorBA:
         self._fg_synced = True
         self._A_dev = None
         self._lm_stats = None  # (n_iters,) realized LM iterations
+        self._fg_rows_np = None  # host state copy riding the host_pack pull
 
     # ------------------------------------------------------------------
     def set_prior(self, t0: int, t1: int):
@@ -426,16 +427,24 @@ class MultiSensorBA:
         pgf = dg.pack_graph_flat(self, t0, t1, NW)
         if pgf is None:
             return None
-        fg = jnp.asarray(dg.pack_state_flat(self, t0, t1, NW))
-        ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
-                                           e_all, t0)
+        # ONE H2D for everything the fused kernel needs this keyframe:
+        # [graph | state | sel_pad | ii_d | jj_d | mask | t0 | n] as f32
+        # (indices are small ints, exact in f32); each separate jnp.asarray
+        # on the remote transport costs ~2-5 ms of upload latency
+        fgf = dg.pack_state_flat(self, t0, t1, NW)
+        nn = len(self.cur_ii)
+        ii_pad = np.zeros(e_all, np.float32)
+        jj_pad = np.zeros(e_all, np.float32)
+        ii_pad[:nn] = np.clip(self.cur_ii - t0, 0, P - 1)
+        jj_pad[:nn] = np.clip(self.cur_jj - t0, 0, P - 1)
+        mask = np.zeros(e_all, np.float32)
+        mask[:nn] = 1.0
+        blob = np.concatenate([
+            pgf, fgf, sel_pad.astype(np.float32), ii_pad, jj_pad, mask,
+            np.asarray([t0, n], np.float32),
+        ])
         self._fg_key = (t0, t1)
-        return dict(
-            sel_pad=jnp.asarray(sel_pad), ii_d=ii_d, jj_d=jj_d, mask_d=mask,
-            fg_t0=jnp.asarray(t0, jnp.int32),
-            n_fg=jnp.asarray(n, jnp.int32), fg=fg, pg=jnp.asarray(pgf),
-            A=self._A_block(),
-        )
+        return dict(blob=jnp.asarray(blob), A=self._A_block())
 
     # ------------------------------------------------------------------
     def _ba_device(self, t0: int, t1: int, e_cap: int,
@@ -479,6 +488,7 @@ class MultiSensorBA:
             )
         )
         self._fg_synced = False
+        self._fg_rows_np = None  # stash (if any) no longer matches state
         return True
 
     def _A_block(self):
@@ -489,16 +499,25 @@ class MultiSensorBA:
             self._A_dev = jnp.asarray(ba2fg_block(self.Tbc), jnp.float32)
         return self._A_dev
 
+    def stash_state_rows(self, rows_flat_np):
+        """Host copy of the flat window state that rode the host_pack pull
+        (graph.host_pack); sync_host consumes it with zero extra D2H."""
+        self._fg_rows_np = np.asarray(rows_flat_np, np.float64)
+
     def sync_host(self):
         """Pull the device window states back into the host factor-graph
         bookkeeping (once per keyframe step, not per iteration): ONE flat
-        (NW*21,) D2H transfer (device_graph.flatten_state layout)."""
+        (NW*21,) D2H transfer (device_graph.flatten_state layout), or zero
+        transfers when the state rode the host_pack pull."""
         if self._fg_synced or self._fg_state is None or self._fg_key is None:
             return
         t0, t1 = self._fg_key
         NW = self.cfg.sensors.fg_cap
-        rows = np.asarray(
-            jax.device_get(self._fg_state), np.float64).reshape(NW, 21)
+        if self._fg_rows_np is not None:
+            rows = self._fg_rows_np.reshape(NW, 21)
+        else:
+            rows = np.asarray(
+                jax.device_get(self._fg_state), np.float64).reshape(NW, 21)
         result = Values()
         for i in range(t0, t1):
             f = i - t0
@@ -511,6 +530,7 @@ class MultiSensorBA:
             result[B(i)] = self.state.bs[i]
         self.cur_result = result
         self._fg_synced = True
+        self._fg_rows_np = None  # one-shot: valid only for this state
 
     # ------------------------------------------------------------------
     def __getstate__(self):
@@ -525,6 +545,7 @@ class MultiSensorBA:
         d["_A_dev"] = None
         d["_fg_synced"] = True
         d["_lm_stats"] = None
+        d["_fg_rows_np"] = None
         for k in ("cur_target", "cur_weight"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k])

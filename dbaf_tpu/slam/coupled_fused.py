@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fusion import device_graph as dg
-from ..ops import dba
+from ..ops import dba, lie
 from ..utils.config import DBAFusionConfig
 
 
@@ -49,16 +49,24 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
         it_target, it_weight, ii_i, jj_i, i_mask,
         # scalars
         t0, t1, s0, imu_enabled, aux,
-        # coupled-solve operands
-        sel_pad,            # (E_all,) rows of (inactive ++ active) to keep
-        ii_d, jj_d, mask_d,  # window edge args (coupled._edge_args)
-        fg_t0, n_fg,        # factor-graph window [t0c, t0c+n)
-        fg_flat, pg_flat, A,  # flat graph/state buffers (one H2D each)
+        # coupled-solve operands: ONE flat f32 buffer (single H2D/keyframe,
+        # coupled.prepare_device layout [graph | state | sel_pad | ii_d |
+        # jj_d | mask | t0c | n]) plus the cached camera->body adjoint
+        blob, A,
         # static
         rounds: int, iters: int, use_inactive: bool, use_sens: bool,
     ):
-        fg = dg.unflatten_state(fg_flat, n_fg, NW)
-        pg = dg.unflatten_graph(pg_flat, NW)
+        G = dg.graph_flat_size(NW)
+        e_all = (blob.shape[0] - G - NW * 21 - 2) // 4
+        pg = dg.unflatten_graph(blob[:G], NW)
+        o = G + NW * 21
+        sel_pad = blob[o: o + e_all].astype(jnp.int32)
+        ii_d = blob[o + e_all: o + 2 * e_all].astype(jnp.int32)
+        jj_d = blob[o + 2 * e_all: o + 3 * e_all].astype(jnp.int32)
+        mask_d = blob[o + 3 * e_all: o + 4 * e_all] > 0.5
+        fg_t0 = blob[-2].astype(jnp.int32)
+        n_fg = blob[-1].astype(jnp.int32)
+        fg = dg.unflatten_state(blob[G: o], n_fg, NW)
         sel_pose = jnp.asarray(dg._sel_pose(NW))
 
         def one(r, carry):
@@ -100,8 +108,21 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
         (poses, disps, e_net, e_target, e_weight, fg, host_pack,
          cur_target, cur_weight, lm_stats) = carry
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+        fg_flat_out = dg.flatten_state(fg)
+        # translation-hysteresis norms for the multisensor cull decision
+        # (dbaf_frontend.py:319-325 semantics, frontend._update): |rel t|
+        # between candidate frames t1-10+k (k<7, clipped) and ref t1-2,
+        # computed here so the decision needs no extra pose pull
+        cand = jnp.clip(t1 - 10 + jnp.arange(7, dtype=jnp.int32), 0, P - 1)
+        ref = poses[jnp.clip(t1 - 2, 0, P - 1)]
+        rel = lie.se3_mul(poses[cand], lie.se3_inv(ref)[None])
+        hyst = jnp.linalg.norm(rel[:, :3], axis=1)
+        # append [hysteresis(7) | flat window state]: the host pulls the
+        # cull-decision pack every keyframe anyway, so both ride the same
+        # single D2H round trip
+        host_pack = jnp.concatenate([host_pack, hyst, fg_flat_out])
         return (poses, disps, e_net, e_target, e_weight, edge_conf,
-                host_pack, cur_target, cur_weight, dg.flatten_state(fg),
+                host_pack, cur_target, cur_weight, fg_flat_out,
                 lm_stats)
 
     return fused

@@ -320,12 +320,19 @@ class Frontend:
             # translation hysteresis (dbaf_frontend.py:319-325): candidates
             # are t1-10..t1-4 (the immediate neighbor t1-3 is excluded)
             lo = self.t1 - 10 if self.t1 > 10 else self.t1 - 6
-            # ONE pull covering both the candidates and the reference row
-            win = np.asarray(self.video.poses[max(lo, 0) : self.t1 - 1],
-                             dtype=np.float64)
-            poses, ref = win[:-2], win[-1]  # excludes neighbor t1-3
-            rel = lie_np.se3_mul(poses, lie_np.se3_inv(ref)[None])
-            cam_t = np.linalg.norm(rel[:, :3], axis=1)
+            hyst = self.graph.hyst_norms
+            if hyst is not None and not self.did_rollup:
+                # norms rode the fused keyframe pull (slots t1-10+k, k<7)
+                k0 = max(lo, 0) - (self.t1 - 10)
+                cam_t = hyst[k0:7]
+            else:
+                # ONE pull covering the candidates and the reference row
+                win = np.asarray(
+                    self.video.poses[max(lo, 0): self.t1 - 1],
+                    dtype=np.float64)
+                poses, ref = win[:-2], win[-1]  # excludes neighbor t1-3
+                rel = lie_np.se3_mul(poses, lie_np.se3_inv(ref)[None])
+                cam_t = np.linalg.norm(rel[:, :3], axis=1)
             cull = bool(np.any(cam_t < self.translation_threshold))
 
         seeded = False

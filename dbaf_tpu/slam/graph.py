@@ -456,6 +456,8 @@ class CovisibleGraph:
         self._host_pack_dev = None  # [cull_dist, prox...] from last update
         self._host_pack_np = None
         self._host_pack_t1 = -1
+        self._host_pack_tail = 0    # trailing fg-state floats in the pack
+        self.hyst_norms = None      # (7,) cull-hysteresis |rel t| (coupled)
         self._prox_offset = 1
         self._pending_mega = None
         self.aux = {}  # traced pytree forwarded to update_fn each call
@@ -779,6 +781,8 @@ class CovisibleGraph:
             self._host_pack_dev = res.host_pack  # pulled lazily, once
             self._host_pack_np = None
             self._host_pack_t1 = t1
+            self._host_pack_tail = 0
+            self.hyst_norms = None
             self._prox_offset = 1
         if coupled_mode:
             # device-solver path: ONE state pull per update call, after
@@ -837,9 +841,7 @@ class CovisibleGraph:
             jnp.asarray(s0, jnp.int32),
             jnp.asarray(True, dtype=bool),
             self.aux,
-            prep["sel_pad"], prep["ii_d"], prep["jj_d"], prep["mask_d"],
-            prep["fg_t0"], prep["n_fg"], prep["fg"], prep["pg"],
-            prep["A"],
+            prep["blob"], prep["A"],
             rounds=rounds, iters=iters, use_inactive=use_inactive,
             use_sens=self.video.has_depth,
         )
@@ -853,11 +855,14 @@ class CovisibleGraph:
         self._host_pack_dev = host_pack
         self._host_pack_np = None
         self._host_pack_t1 = t1
+        self._host_pack_tail = self.cfg.sensors.fg_cap * 21
+        self.hyst_norms = None  # replaced by the pull below
         self._prox_offset = 1
         self.coupled.cur_target = cur_target
         self.coupled.cur_weight = cur_weight
         self.coupled._fg_state = fg
         self.coupled._fg_synced = False
+        _ = self.host_pack  # ONE pull: cull pack + window state rows
         self.coupled.sync_host()
         return True
 
@@ -911,6 +916,8 @@ class CovisibleGraph:
         self._conf_dev = res.edge_conf
         self._host_pack_dev = res.host_pack
         self._host_pack_np = None
+        self._host_pack_tail = 0
+        self.hyst_norms = None
         self._prox_offset = 2
         self._pending_mega = (rounds_a, rounds_b, t1)
 
@@ -941,7 +948,19 @@ class CovisibleGraph:
         if self._host_pack_dev is None:
             return None
         if self._host_pack_np is None:
-            self._host_pack_np = np.asarray(self._host_pack_dev)
+            full = np.asarray(self._host_pack_dev)
+            if self._host_pack_tail:
+                # coupled path: [pack | hysteresis(7) | flat window state]
+                # ride ONE pull (coupled_fused.py return); hand the state
+                # to the MultiSensorBA so sync_host costs no extra round
+                # trip and keep the cull-hysteresis norms for the frontend
+                tail = self._host_pack_tail
+                self._host_pack_np = full[: -(tail + 7)]
+                self.hyst_norms = full[-(tail + 7): -tail]
+                self.coupled.stash_state_rows(full[-tail:])
+            else:
+                self._host_pack_np = full
+                self.hyst_norms = None
         return self._host_pack_np
 
     # ------------------------------------------------------------------

@@ -185,3 +185,56 @@ def test_coupled_hessian_matches_native_ba(rng):
     )
     assert np.all(np.isfinite(np.asarray(out[0])))
     assert np.all(np.isfinite(np.asarray(out[1])))
+
+
+@pytest.mark.slow
+def test_coupled_cull_hysteresis_parity():
+    """The in-kernel translation-hysteresis norms (coupled_fused.py, riding
+    the host_pack pull) must reproduce the host-side pose-pull fallback
+    exactly: same cull decisions, same keyframes, same trajectory."""
+    n_frames = 26
+    imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, z0=4.0))
+    gt_cw = np.stack(gt_cw).astype(np.float32)
+    gt_disps = np.stack(gt_disps).astype(np.float32)
+
+    def run(disable_fast_path):
+        cfg = make_cfg(vi_warmup=12, keyframe_thresh=0.05,
+                       rollup_start=1000)
+        cfg.sensors.device_solver = True
+        cfg.frontend.translation_threshold = 0.35  # triggers on this scene
+        h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
+                      imu_rows)
+        if disable_fast_path:
+            class _NoHyst(type(h.graph)):
+                hyst_norms = property(lambda s: None,
+                                      lambda s, v: None)
+            h.graph.__class__ = _NoHyst
+        kept = []
+        for k in range(n_frames):
+            h.feed(k)
+            kept.append(h.frontend.t1)
+        t1 = h.frontend.t1
+        est = np.asarray([h.graph.coupled.state.wTbs[k].t
+                          for k in range(t1)])
+        stamps = np.asarray(h.video.tstamp[:t1])
+        return kept, stamps, est
+
+    kept_f, st_f, est_f = run(False)
+    kept_h, st_h, est_h = run(True)
+    assert kept_f == kept_h                      # identical cull decisions
+    np.testing.assert_array_equal(st_f, st_h)    # identical keyframes
+    np.testing.assert_allclose(est_f, est_h, atol=1e-5)
+    # the scenario must actually exercise culling for this to mean anything
+    assert kept_f[-1] < n_frames - 2, kept_f
