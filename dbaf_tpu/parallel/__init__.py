@@ -1,1 +1,1 @@
-from .mesh import make_mesh, sharded_ba_step  # noqa: F401
+from .mesh import make_mesh, make_mesh_2d, sharded_ba_step  # noqa: F401

@@ -39,6 +39,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "edge") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, edge: int, dp_axis: str = "dp",
+                 edge_axis: str = "edge") -> Mesh:
+    """(dp x edge) mesh for the full training step: data-parallel tuple
+    batch on the first axis, edge-parallel correlation/BA on the second
+    (ICI-major so the edge collectives ride the faster links)."""
+    devs = np.asarray(jax.devices()[: dp * edge]).reshape(dp, edge)
+    return Mesh(devs, (dp_axis, edge_axis))
+
+
 def sharded_ba_step(mesh: Mesh, axis: str = "edge"):
     """Build a jitted BA step with edges sharded across ``mesh``.
 

@@ -99,3 +99,70 @@ def test_loss_zero_at_truth(rng):
         poses_gt, disps_gt, [poses_gt], [disps_gt], intr
     )
     assert float(lf) < 1e-3
+
+
+@pytest.mark.slow
+def test_full_train_step_sharded_matches_single(rng):
+    """One full training step (unrolled forward + losses + adamw update)
+    jitted over a (dp=2, edge=4) mesh must run with sharded batch inputs
+    and agree with the unsharded step."""
+    import optax
+
+    from dbaf_tpu.parallel import make_mesh_2d
+    from dbaf_tpu.train.trainer import (
+        make_optimizer, make_train_step, shard_batch,
+    )
+
+    assert jax.device_count() >= 8, jax.devices()
+    B, n_frames, h8, w8 = 2, 4, 6, 8
+
+    model = DroidNet(dtype=jnp.float32)
+    probe = jnp.zeros((1, 8 * h8, 8 * w8, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), probe, method=model.extract_features
+    )["params"]
+    uparams = model.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((2, h8, w8, 128)), jnp.zeros((2, h8, w8, 128)),
+        jnp.zeros((2, h8, w8, 196)), jnp.zeros((2, h8, w8, 4)),
+        jnp.asarray([0, 1]), 2,
+        method=model.update_with_agg,
+    )["params"]
+    params = {**params, **uparams}
+
+    samples = []
+    for b in range(B):
+        poses_gt, disps_gt, intr, ii, jj = _tiny_problem(rng, n_frames, h8, w8)
+        keep = np.arange(8)  # 8 edges, divisible by the edge axis
+        samples.append(dict(
+            images=jnp.asarray(
+                rng.integers(0, 255, size=(n_frames, 8 * h8, 8 * w8, 3)),
+                jnp.float32),
+            poses0=jnp.tile(lie.se3_identity()[None], (n_frames, 1)),
+            disps0=jnp.ones((n_frames, h8, w8), jnp.float32),
+            poses_gt=poses_gt, disps_gt=disps_gt, intrinsics=intr,
+            ii=ii[keep], jj=jj[keep],
+        ))
+    batch = {k: jnp.stack([s[k] for s in samples]) for k in samples[0]}
+
+    tx = make_optimizer(lr=1e-4, total_steps=100)
+    opt_state = tx.init(params)
+
+    # unsharded reference
+    step0 = make_train_step(model, tx, num_steps=1)
+    p0, _, m0 = step0(params, opt_state, batch)
+
+    # sharded
+    mesh = make_mesh_2d(2, 4)
+    stepS = make_train_step(model, tx, num_steps=1, mesh=mesh)
+    pS, _, mS = stepS(params, opt_state, shard_batch(batch, mesh))
+
+    assert np.isfinite(float(m0["loss"]))
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(mS["loss"]), rtol=1e-4)
+    # parameters updated and equal across layouts
+    d0 = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, pS)
+    assert max(jax.tree_util.tree_leaves(d0)) < 1e-4
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
