@@ -190,15 +190,28 @@ class PackedGraph(NamedTuple):
     odo_mask: jnp.ndarray   # (NW,)
     odo_vel: jnp.ndarray    # (NW, 3)
     odo_info: jnp.ndarray   # (3, 3)
-    # marginal LinearContainerFactor: MK key slots, padded 15 rows each
-    mg_mask: jnp.ndarray    # (MK,) slot used
-    mg_type: jnp.ndarray    # (MK,) 0 pose / 1 vel(3) / 2 bias(6)
-    mg_frame: jnp.ndarray   # (MK,) window slot
-    mg_linR: jnp.ndarray    # (MK, 3, 3)
-    mg_lint: jnp.ndarray    # (MK, 3)
-    mg_linvec: jnp.ndarray  # (MK, 6)
-    mg_H: jnp.ndarray       # (MK*15, MK*15) padded
-    mg_v: jnp.ndarray       # (MK*15,)
+
+
+class MargDense(NamedTuple):
+    """Marginal prior (LinearContainerFactor) in DENSE window form: the
+    quadratic 0.5|dx|^2_H - v.dx over the FULL (NW*15) window tangent at
+    fixed lin points (rows/cols of absent dims are zero).  Dense beats
+    key-slot packing on TPU: the solve adds it with two matvecs and the
+    device marginalization kernel emits it directly -- so it can stay
+    DEVICE-RESIDENT across keyframes (not part of the upload blob)."""
+    mask: jnp.ndarray   # (NW,) frame participates
+    lin: jnp.ndarray    # (NW, 21) lin point rows [R(9)|t|vel|bias]
+    H: jnp.ndarray      # (NW*15, NW*15)
+    v: jnp.ndarray      # (NW*15,)
+
+
+def marg_identity_np(NW: int) -> "MargDense":
+    """The empty marginal (no prior information), host arrays."""
+    lin = np.zeros((NW, 21), np.float32)
+    lin[:, :9] = np.eye(3, dtype=np.float32).reshape(9)
+    N = NW * 15
+    return MargDense(np.zeros(NW, bool), lin,
+                     np.zeros((N, N), np.float32), np.zeros(N, np.float32))
 
 
 def _slot_rows(NW: int):
@@ -217,7 +230,7 @@ def _sel_pose(NW: int) -> np.ndarray:
     return S
 
 
-def _graph_spec(NW: int, PP: int, PB: int, MK: int):
+def _graph_spec(NW: int, PP: int, PB: int):
     """(name, shape, kind) per PackedGraph field, in field order.  The
     flat-buffer layout for single-upload graph transfer (kind: 'f' f32,
     'b' bool stored as 0/1, 'i' small int stored exactly in f32)."""
@@ -238,31 +251,25 @@ def _graph_spec(NW: int, PP: int, PB: int, MK: int):
         gnss_info=((3, 3), "f"), gnss_k2=((), "f"),
         odo_mask=((NW,), "b"), odo_vel=((NW, 3), "f"),
         odo_info=((3, 3), "f"),
-        mg_mask=((MK,), "b"), mg_type=((MK,), "i"), mg_frame=((MK,), "i"),
-        mg_linR=((MK, 3, 3), "f"), mg_lint=((MK, 3), "f"),
-        mg_linvec=((MK, 6), "f"),
-        mg_H=((MK * 15, MK * 15), "f"), mg_v=((MK * 15,), "f"),
     )
     return [(n, *by_name[n]) for n in PackedGraph._fields]
 
 
-def flatten_graph_np(d: dict, NW: int, PP: int = 4, PB: int = 4,
-                     MK: int = 12) -> np.ndarray:
+def flatten_graph_np(d: dict, NW: int, PP: int = 4, PB: int = 4) -> np.ndarray:
     """Host dict of numpy arrays -> ONE flat f32 buffer (single H2D)."""
     parts = []
-    for name, shape, _ in _graph_spec(NW, PP, PB, MK):
+    for name, shape, _ in _graph_spec(NW, PP, PB):
         a = np.asarray(d[name], np.float32).reshape(-1)
         assert a.size == int(np.prod(shape, dtype=int)), name
         parts.append(a)
     return np.concatenate(parts) if parts else np.zeros(0, np.float32)
 
 
-def unflatten_graph(flat, NW: int, PP: int = 4, PB: int = 4,
-                    MK: int = 12) -> PackedGraph:
+def unflatten_graph(flat, NW: int, PP: int = 4, PB: int = 4) -> PackedGraph:
     """Flat device buffer -> PackedGraph, static slices (call inside jit)."""
     out = {}
     o = 0
-    for name, shape, kind in _graph_spec(NW, PP, PB, MK):
+    for name, shape, kind in _graph_spec(NW, PP, PB):
         sz = int(np.prod(shape, dtype=int))
         a = flat[o: o + sz].reshape(shape)
         if kind == "b":
@@ -274,9 +281,9 @@ def unflatten_graph(flat, NW: int, PP: int = 4, PB: int = 4,
     return PackedGraph(**out)
 
 
-def graph_flat_size(NW: int, PP: int = 4, PB: int = 4, MK: int = 12) -> int:
+def graph_flat_size(NW: int, PP: int = 4, PB: int = 4) -> int:
     return sum(int(np.prod(s, dtype=int))
-               for _, s, _ in _graph_spec(NW, PP, PB, MK))
+               for _, s, _ in _graph_spec(NW, PP, PB))
 
 
 # per-frame 21-wide state row: [R.ravel(9) | t(3) | vel(3) | bias(6)]
@@ -373,12 +380,15 @@ def _prior_pose_jac(r):
 
 
 def linearize(state: FgState, pg: PackedGraph, vis_H, vis_v, vis_linR,
-              vis_lint, sel_pose):
+              vis_lint, sel_pose, mgd: MargDense = None,
+              hold_empty: bool = True):
     """Dense normal equations over the padded window.
 
     vis_H/vis_v: body-frame reduced camera system (NW*6 square/vec),
-    anchored at vis_linR/vis_lint; sel_pose: static (N, NW*6) selector.
-    Returns (H, b, err) with unconstrained rows held at identity.
+    anchored at vis_linR/vis_lint; sel_pose: static (N, NW*6) selector;
+    mgd: dense marginal prior (or None).  Returns (H, b, err); with
+    ``hold_empty`` unconstrained rows are held at identity (the solve
+    needs an invertible system; the marginalization kernel must not).
     """
     NW = state.R.shape[0]
     N = NW * 15
@@ -480,42 +490,25 @@ def linearize(state: FgState, pg: PackedGraph, vis_H, vis_v, vis_linR,
     b = b.at[o_rows].add(bo_)
     err = err + jnp.sum(eo)
 
-    # ---- marginal LinearContainerFactor (factors.py:254-293)
-    MK = pg.mg_mask.shape[0]
-    DM = MK * 15
+    # ---- marginal prior (LinearContainerFactor, factors.py:254-293) in
+    # dense window form: 0.5 |dx|^2_H - v.dx with dx the local deviation
+    # from the stored lin points.  Dims absent from the marginal have zero
+    # H rows/cols and v entries, so their (arbitrary) deltas cancel.
+    if mgd is not None:
+        def frame_delta(f):
+            lin = mgd.lin[f]
+            d_pose = _se3_local(lin[:9].reshape(3, 3), lin[9:12],
+                                state.R[f], state.t[f])
+            d = jnp.concatenate([
+                d_pose, state.vel[f] - lin[12:15],
+                state.bias[f] - lin[15:21]
+            ])
+            return d * mgd.mask[f].astype(dtype)
 
-    def one_delta(k):
-        f = pg.mg_frame[k]
-        d_pose = _se3_local(pg.mg_linR[k], pg.mg_lint[k],
-                            state.R[f], state.t[f])
-        d_vel = state.vel[f] - pg.mg_linvec[k, :3]
-        d_bias = state.bias[f] - pg.mg_linvec[k]
-        d = jnp.where(
-            pg.mg_type[k] == 0,
-            jnp.concatenate([d_pose, jnp.zeros(9, dtype)]),
-            jnp.where(
-                pg.mg_type[k] == 1,
-                jnp.concatenate([d_vel, jnp.zeros(12, dtype)]),
-                jnp.concatenate([d_bias, jnp.zeros(9, dtype)]),
-            ),
-        )
-        base = jnp.where(pg.mg_type[k] == 0, 15 * f,
-                         jnp.where(pg.mg_type[k] == 1, 15 * f + 6,
-                                   15 * f + 9))
-        return d * pg.mg_mask[k].astype(dtype), base
-
-    dmk, base = jax.vmap(one_delta)(jnp.arange(MK))
-    dvec = dmk.reshape(DM)
-    # selector (N, DM): global row base[k]+j <- marginal row 15k+j
-    j_in = jnp.tile(jnp.arange(15), MK)
-    k_of = jnp.repeat(jnp.arange(MK), 15)
-    tgt = base[k_of] + j_in
-    tgt = jnp.where(pg.mg_mask[k_of], tgt, -1)
-    Sel = (jnp.arange(N)[:, None] == tgt[None, :]).astype(dtype)
-    bm = pg.mg_v - pg.mg_H @ dvec
-    H = H + Sel @ pg.mg_H @ Sel.T
-    b = b + Sel @ bm
-    err = err + 0.5 * dvec @ (pg.mg_H @ dvec) - pg.mg_v @ dvec
+        dvec = jax.vmap(frame_delta)(NWr).reshape(N)
+        H = H + mgd.H
+        b = b + mgd.v - mgd.H @ dvec
+        err = err + 0.5 * dvec @ (mgd.H @ dvec) - mgd.v @ dvec
 
     # ---- visual hessian (camera system converted to body upstream)
     dpose = jax.vmap(_se3_local)(vis_linR, vis_lint, state.R, state.t)
@@ -525,9 +518,10 @@ def linearize(state: FgState, pg: PackedGraph, vis_H, vis_v, vis_linR,
     b = b + sel_pose @ (vis_v - vis_H @ dp6)
     err = err + 0.5 * dp6 @ (vis_H @ dp6) - vis_v @ dp6
 
-    # ---- hold unconstrained rows (invalid frames / untouched states)
-    diag = jnp.diagonal(H)
-    H = H + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0).astype(dtype))
+    if hold_empty:
+        # hold unconstrained rows (invalid frames / untouched states)
+        diag = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0).astype(dtype))
     return H, b, err
 
 
@@ -546,7 +540,7 @@ def _retract_state(state: FgState, d):
 
 
 def lm_optimize(state: FgState, pg: PackedGraph, vis_H, vis_v,
-                vis_linR, vis_lint, sel_pose,
+                vis_linR, vis_lint, sel_pose, mgd: MargDense = None,
                 lambda_initial=1e-5, lambda_factor=10.0,
                 lambda_max=1e5, max_iterations=24,
                 relative_tol=1e-5, absolute_tol=1e-5):
@@ -557,16 +551,16 @@ def lm_optimize(state: FgState, pg: PackedGraph, vis_H, vis_v,
     # which is NOT enough for normal-equation assembly + solve
     with jax.default_matmul_precision("highest"):
         return _lm_optimize_hp(state, pg, vis_H, vis_v, vis_linR, vis_lint,
-                               sel_pose, lambda_initial, lambda_factor,
+                               sel_pose, mgd, lambda_initial, lambda_factor,
                                lambda_max, max_iterations, relative_tol,
                                absolute_tol, dtype)
 
 
 def _lm_optimize_hp(state, pg, vis_H, vis_v, vis_linR, vis_lint, sel_pose,
-                    lambda_initial, lambda_factor, lambda_max,
+                    mgd, lambda_initial, lambda_factor, lambda_max,
                     max_iterations, relative_tol, absolute_tol, dtype):
     H0, b0, err0 = linearize(state, pg, vis_H, vis_v, vis_linR, vis_lint,
-                             sel_pose)
+                             sel_pose, mgd)
 
     def cond(carry):
         _, _, _, _, _, done, it = carry
@@ -583,7 +577,7 @@ def _lm_optimize_hp(state, pg, vis_H, vis_v, vis_linR, vis_lint, sel_pose,
         ok = jnp.all(jnp.isfinite(d))
         cand = _retract_state(st, jnp.where(ok, d, 0.0))
         Hc, bc, errc = linearize(cand, pg, vis_H, vis_v, vis_linR,
-                                 vis_lint, sel_pose)
+                                 vis_lint, sel_pose, mgd)
         accept = ok & (errc < err)
         st2 = jax.tree.map(
             lambda a, cd: jnp.where(accept, cd, a) if a.dtype != jnp.bool_
@@ -616,7 +610,8 @@ def _lm_optimize_hp(state, pg, vis_H, vis_v, vis_linR, vis_lint, sel_pose,
 
 def coupled_rounds_body(
     poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
-    ii_d, jj_d, mask, t0, n, fg: FgState, pg: PackedGraph, A, sel_pose,
+    ii_d, jj_d, mask, t0, n, fg: FgState, pg: PackedGraph,
+    mgd: MargDense, A, sel_pose,
     P: int, NW: int, n_iters: int = 2, eps_damping: float = 1e-7,
 ):
     """The whole multi-sensor DBA call of depth_video.py:524-558 in one
@@ -640,7 +635,8 @@ def coupled_rounds_body(
                 "ca,icjd,db->iajb", A, H4, A).reshape(NW * 6, NW * 6)
             vb = jnp.einsum(
                 "ca,ic->ia", A, v[: NW * 6].reshape(NW, 6)).reshape(-1)
-        fg2, (_, lm_it) = lm_optimize(fg, pg, Hb, vb, fg.R, fg.t, sel_pose)
+        fg2, (_, lm_it) = lm_optimize(fg, pg, Hb, vb, fg.R, fg.t,
+                                      sel_pose, mgd)
         lm_its.append(lm_it)
         dxb = jax.vmap(_se3_local)(fg.R, fg.t, fg2.R, fg2.t)
         dxb = dxb * fg.valid[:, None].astype(dxb.dtype)
@@ -660,22 +656,117 @@ def coupled_rounds_body(
 )
 def coupled_rounds_device(
     poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
-    ii_d, jj_d, mask, t0, n, fg_flat, pg_flat, A,
+    ii_d, jj_d, mask, t0, n, fg_flat, pg_flat, mgd, A,
     P: int, NW: int, n_iters: int = 2, eps_damping: float = 1e-7,
 ):
     """Flat-operand jit wrapper around :func:`coupled_rounds_body`: the
     graph and state arrive as single flat buffers (one H2D each on the
-    remote transport) and the state returns flat (one D2H on sync)."""
+    remote transport; the dense marginal ``mgd`` stays device-resident)
+    and the state returns flat (one D2H on sync)."""
     fg = unflatten_state(fg_flat, n, NW)
     pg = unflatten_graph(pg_flat, NW)
     sel_pose = jnp.asarray(_sel_pose(NW))
     poses, disps, fg2, lm_its = coupled_rounds_body(
         poses_buf, disps_buf, damping_buf, intrinsics, target, weight,
-        ii_d, jj_d, mask, t0, n, fg, pg, A, sel_pose,
+        ii_d, jj_d, mask, t0, n, fg, pg, mgd, A, sel_pose,
         P=P, NW=NW, n_iters=n_iters, eps_damping=eps_damping,
     )
     return poses, disps, flatten_state(fg2), lm_its
 
+
+
+
+# ---------------------------------------------------------------------------
+# device-resident sliding-window marginalization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("P", "NW", "eps_damping"))
+def marginalize_window_device(
+    poses_buf, disps_buf, damping_buf, intrinsics,
+    marg_target, marg_weight, ii_d, jj_d, mask_m,
+    s0,                    # global slot origin (= last_t0)
+    fg_flat, pg_flat,      # OLD window state/graph (origin s0, host-packed)
+    mgd_old: MargDense, A,
+    m, k_end, n_old,       # eliminate [0,m); keep [m,k_end); live count
+    P: int, NW: int, eps_damping: float = 1e-7,
+) -> MargDense:
+    """The numeric core of coupled._marginalize on device (ONE dispatch,
+    zero pulls): visual hessian of the marginalized edges -> body
+    conversion -> linearize {IMU/priors/GNSS/odometry on the eliminated
+    frames} + old marginal at the current states -> Schur-eliminate the
+    first ``m`` frame blocks -> re-base to the new window origin.  Matches
+    fusion.graph.marginalize_out semantics (depth_video.py:350-459); the
+    dims absent from the host factor graph carry zero rows here, which is
+    the dense encoding of "key not present"."""
+    N = NW * 15
+    fg = unflatten_state(fg_flat, n_old, NW)
+    pg = unflatten_graph(pg_flat, NW)
+    ar15 = jnp.arange(N)
+    arW = jnp.arange(NW)
+
+    # visual system of the marginalized edges (camera tangent, old origin)
+    from ..ops import dba
+    S, v = dba.coupled_hessian_full(
+        poses_buf, disps_buf, damping_buf, intrinsics, marg_target,
+        marg_weight, ii_d, jj_d, mask_m, s0, k_end,
+        P=P, eps_damping=eps_damping,
+    )
+    any_edge = jnp.any(mask_m).astype(S.dtype)
+    # first-pose diagonal stabilization, only when visual info exists
+    # (coupled.py _marginalize: H[:6] diag += 0.00025)
+    S = S + 0.00025 * any_edge * jnp.diag(
+        (jnp.arange(S.shape[0]) < 6).astype(S.dtype))
+    with jax.default_matmul_precision("highest"):
+        H4 = S[: NW * 6, : NW * 6].reshape(NW, 6, NW, 6)
+        Hb = jnp.einsum("ca,icjd,db->iajb", A, H4, A).reshape(NW * 6, NW * 6)
+        vb = jnp.einsum("ca,ic->ia", A, v[: NW * 6].reshape(NW, 6)
+                        ).reshape(-1)
+
+        # restrict the packed factors to the eliminated frames (the host
+        # marginalization graph includes exactly the factors anchored at
+        # frames < t0: coupled.py:214-246)
+        pgm = pg._replace(
+            imu_mask=pg.imu_mask & (jnp.arange(NW - 1) < m),
+            pp_mask=pg.pp_mask & (pg.pp_frame < m),
+            pb_mask=pg.pb_mask & (pg.pb_frame < m),
+            gnss_mask=pg.gnss_mask & (arW < m),
+            odo_mask=pg.odo_mask & (arW < m),
+        )
+        sel_pose = jnp.asarray(_sel_pose(NW))
+        H, b, _ = linearize(fg, pgm, Hb, vb, fg.R, fg.t, sel_pose,
+                            mgd_old, hold_empty=False)
+
+        # Schur-eliminate rows [0, 15m) (marginalize_out: regularized
+        # inverse of the eliminated block)
+        rm = ar15 < 15 * m
+        keep = (~rm) & (ar15 < 15 * k_end)
+        rmf = rm.astype(H.dtype)
+        kf = keep.astype(H.dtype)
+        Hrr = H * rmf[:, None] * rmf[None, :]
+        # identity on non-eliminated rows; small reg on eliminated ones
+        # (host: +1e-10 in f64; f32 needs a relative floor for empty dims)
+        reg = 1e-10 + 1e-6 * jnp.max(jnp.abs(jnp.diagonal(Hrr)))
+        Hrr = Hrr + jnp.diag(jnp.where(rm, reg, 1.0).astype(H.dtype))
+        Hrk = H * rmf[:, None] * kf[None, :]
+        c, low = jax.scipy.linalg.cho_factor(Hrr, lower=True)
+        X = jax.scipy.linalg.cho_solve((c, low), Hrk)
+        xb = jax.scipy.linalg.cho_solve((c, low), b * rmf)
+        Hm = H * kf[:, None] * kf[None, :] - Hrk.T @ X
+        bm = b * kf - Hrk.T @ xb
+
+    # re-base kept slots to the new origin t0 = s0 + m
+    sh = 15 * m
+    Hm = jnp.roll(jnp.roll(Hm, -sh, axis=0), -sh, axis=1)
+    bm = jnp.roll(bm, -sh)
+    live = ar15 < 15 * (k_end - m)
+    lf = live.astype(H.dtype)
+    Hm = Hm * lf[:, None] * lf[None, :]
+    bm = bm * lf
+    lin = jnp.roll(flatten_state(fg).reshape(NW, 21), -m, axis=0)
+    mask = arW < (k_end - m)
+    lin = jnp.where(mask[:, None], lin, marg_identity_np(NW).lin)
+    return MargDense(mask, lin, Hm, bm)
 
 # ---------------------------------------------------------------------------
 # host -> device packing
@@ -686,28 +777,26 @@ def make_sel_pose(NW: int) -> jnp.ndarray:
     return jnp.asarray(_sel_pose(NW))
 
 
-def pack_graph(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
-               MK: int = 12):
+def pack_graph(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4):
     """Pack the MultiSensorBA window graph into fixed-capacity device
     arrays (one upload per field; tests/CPU).  None on capacity miss."""
-    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB, MK)
+    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB)
     if arrs is None:
         return None
     return PackedGraph(**{k: jnp.asarray(v) for k, v in arrs.items()})
 
 
 def pack_graph_flat(msba, t0: int, t1: int, NW: int, PP: int = 4,
-                    PB: int = 4, MK: int = 12):
+                    PB: int = 4):
     """Pack the window graph into ONE flat f32 host buffer (single H2D;
     unflatten_graph inside the jit).  None on capacity miss."""
-    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB, MK)
+    arrs = pack_graph_np(msba, t0, t1, NW, PP, PB)
     if arrs is None:
         return None
-    return flatten_graph_np(arrs, NW, PP, PB, MK)
+    return flatten_graph_np(arrs, NW, PP, PB)
 
 
-def pack_graph_np(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
-                  MK: int = 12):
+def pack_graph_np(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4):
     """Pack the MultiSensorBA window graph (slam/coupled.py:284-307 `base`)
     into fixed-capacity numpy arrays.  Returns None if the layout exceeds
     a capacity (caller falls back to the host solver)."""
@@ -794,53 +883,48 @@ def pack_graph_np(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4,
             odo["odo_mask"][i - t0] = True
             odo["odo_vel"][i - t0] = msba.state.odo_vel[i]
 
-    mg = dict(
-        mg_mask=z(MK, bool), mg_type=z(MK, np.int32),
-        mg_frame=z(MK, np.int32),
-        mg_linR=np.tile(np.eye(3, dtype=f32), (MK, 1, 1)),
-        mg_lint=z((MK, 3), f32), mg_linvec=z((MK, 6), f32),
-        mg_H=z((MK * 15, MK * 15), f32), mg_v=z(MK * 15, f32),
-    )
-    mf = msba.marg_factor
-    if mf is not None:
-        if len(mf.keys) > MK:
-            return None
-        offs = np.cumsum([0] + [d for d in mf.dims])
-        rows = []
-        for k, key in enumerate(mf.keys):
-            typ = key[0]
-            idx = int(key[1:])
-            if not (t0 <= idx < t1):
-                return None
-            mg["mg_mask"][k] = True
-            mg["mg_frame"][k] = idx - t0
-            lp = mf.lin_point[key]
-            if typ == "x":
-                mg["mg_type"][k] = 0
-                mg["mg_linR"][k] = lp.R
-                mg["mg_lint"][k] = lp.t
-                dim = 6
-            elif typ == "v":
-                mg["mg_type"][k] = 1
-                mg["mg_linvec"][k, :3] = lp
-                dim = 3
-            else:
-                mg["mg_type"][k] = 2
-                mg["mg_linvec"][k] = lp
-                dim = 6
-            if dim != mf.dims[k]:
-                return None
-            rows.append((15 * k, offs[k], dim))
-        for (ra, sa, da) in rows:
-            mg["mg_v"][ra: ra + da] = mf.v[sa: sa + da]
-            for (rb, sb, db) in rows:
-                mg["mg_H"][ra: ra + da, rb: rb + db] = (
-                    mf.H[sa: sa + da, sb: sb + db])
-
     return dict(**imu, g_vec=g_vec, **pp, **pb, **gnss,
                 gnss_info=GNSS_NOISE.information.astype(f32),
                 gnss_k2=np.asarray(GNSS_NOISE.cauchy_k**2, f32),
-                **odo, odo_info=ODO_NOISE.information.astype(f32), **mg)
+                **odo, odo_info=ODO_NOISE.information.astype(f32))
+
+
+def marg_dense_np(mf, t0: int, t1: int, NW: int):
+    """Host LinearContainerFactor -> dense window :class:`MargDense`
+    (or None when a key falls outside [t0, t1))."""
+    md = marg_identity_np(NW)
+    if mf is None:
+        return md
+    offs = np.cumsum([0] + [d for d in mf.dims])
+    rows = []
+    mask = md.mask
+    lin = md.lin
+    for k, key in enumerate(mf.keys):
+        typ = key[0]
+        idx = int(key[1:])
+        if not (t0 <= idx < t1):
+            return None
+        f = idx - t0
+        mask[f] = True
+        lp = mf.lin_point[key]
+        if typ == "x":
+            lin[f, :9] = lp.R.reshape(9)
+            lin[f, 9:12] = lp.t
+            base, dim = 15 * f, 6
+        elif typ == "v":
+            lin[f, 12:15] = lp
+            base, dim = 15 * f + 6, 3
+        else:
+            lin[f, 15:21] = lp
+            base, dim = 15 * f + 9, 6
+        if dim != mf.dims[k]:
+            return None
+        rows.append((base, offs[k], dim))
+    for (ra, sa, da) in rows:
+        md.v[ra: ra + da] = mf.v[sa: sa + da]
+        for (rb, sb, db) in rows:
+            md.H[ra: ra + da, rb: rb + db] = mf.H[sa: sa + da, sb: sb + db]
+    return md
 
 
 def pack_state_np(msba, t0: int, t1: int, NW: int):

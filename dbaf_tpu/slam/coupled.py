@@ -91,6 +91,7 @@ class MultiSensorBA:
         self._A_dev = None
         self._lm_stats = None  # (n_iters,) realized LM iterations
         self._fg_rows_np = None  # host state copy riding the host_pack pull
+        self._mgd_cache = None   # (key, device MargDense) upload cache
 
     # ------------------------------------------------------------------
     def set_prior(self, t0: int, t1: int):
@@ -443,8 +444,29 @@ class MultiSensorBA:
             pgf, fgf, sel_pad.astype(np.float32), ii_pad, jj_pad, mask,
             np.asarray([t0, n], np.float32),
         ])
+        mgd = self._mgd_device(t0, t1, NW)
+        if mgd is None:
+            return None
         self._fg_key = (t0, t1)
-        return dict(blob=jnp.asarray(blob), A=self._A_block())
+        return dict(blob=jnp.asarray(blob), mgd=mgd, A=self._A_block())
+
+    def _mgd_device(self, t0: int, t1: int, NW: int):
+        """Dense marginal prior as device arrays (fusion/device_graph.py
+        MargDense).  Cached per marginal: the marg factor only changes at
+        window-advance/reinit events, so between them the upload (the
+        (NW*15)^2 H) happens once.  None when a key falls outside the
+        window (host fallback)."""
+        from ..fusion import device_graph as dg
+
+        key = (t0, id(self.marg_factor))
+        if self._mgd_cache is not None and self._mgd_cache[0] == key:
+            return self._mgd_cache[1]
+        md = dg.marg_dense_np(self.marg_factor, t0, t1, NW)
+        if md is None:
+            return None
+        dev = dg.MargDense(*(jnp.asarray(a) for a in md))
+        self._mgd_cache = (key, dev)
+        return dev
 
     # ------------------------------------------------------------------
     def _ba_device(self, t0: int, t1: int, e_cap: int,
@@ -473,6 +495,9 @@ class MultiSensorBA:
             self._fg_pg = jnp.asarray(pgf)
             self._fg_state = jnp.asarray(dg.pack_state_flat(self, t0, t1, NW))
             self._fg_key = key
+        mgd = self._mgd_device(t0, t1, NW)
+        if mgd is None:
+            return False
 
         ii_d, jj_d, mask = self._edge_args(self.cur_ii, self.cur_jj,
                                            e_cap, t0)
@@ -482,7 +507,7 @@ class MultiSensorBA:
                 self.video.intrinsics, self.cur_target, self.cur_weight,
                 ii_d, jj_d, mask,
                 jnp.asarray(t0, jnp.int32), jnp.asarray(n, jnp.int32),
-                self._fg_state, self._fg_pg, self._A_block(),
+                self._fg_state, self._fg_pg, mgd, self._A_block(),
                 P=P, NW=NW, n_iters=2,
                 eps_damping=self.cfg.ba.eps_damping,
             )
@@ -546,6 +571,7 @@ class MultiSensorBA:
         d["_fg_synced"] = True
         d["_lm_stats"] = None
         d["_fg_rows_np"] = None
+        d["_mgd_cache"] = None
         for k in ("cur_target", "cur_weight"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k])

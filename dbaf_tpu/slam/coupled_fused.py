@@ -51,8 +51,9 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
         t0, t1, s0, imu_enabled, aux,
         # coupled-solve operands: ONE flat f32 buffer (single H2D/keyframe,
         # coupled.prepare_device layout [graph | state | sel_pad | ii_d |
-        # jj_d | mask | t0c | n]) plus the cached camera->body adjoint
-        blob, A,
+        # jj_d | mask | t0c | n]), the dense marginal prior (device-
+        # resident MargDense), and the cached camera->body adjoint
+        blob, mgd, A,
         # static
         rounds: int, iters: int, use_inactive: bool, use_sens: bool,
     ):
@@ -87,7 +88,7 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             poses, disps, fg, lm_its = dg.coupled_rounds_body(
                 res.poses, res.disps, damping, intrinsics,
                 cur_target, cur_weight, ii_d, jj_d, mask_d,
-                fg_t0, n_fg, fg, pg, A, sel_pose,
+                fg_t0, n_fg, fg, pg, mgd, A, sel_pose,
                 P=P, NW=NW, n_iters=2, eps_damping=cfg.ba.eps_damping,
             )
             return (poses, disps, res.edges.net, res.edges.target,

@@ -841,7 +841,7 @@ class CovisibleGraph:
             jnp.asarray(s0, jnp.int32),
             jnp.asarray(True, dtype=bool),
             self.aux,
-            prep["blob"], prep["A"],
+            prep["blob"], prep["mgd"], prep["A"],
             rounds=rounds, iters=iters, use_inactive=use_inactive,
             use_sens=self.video.has_depth,
         )

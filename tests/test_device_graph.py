@@ -191,9 +191,11 @@ def test_linearize_matches_host(rng):
 
     pg = dg.pack_graph(msba, 0, n, NW)
     assert pg is not None
+    mgd = jax.tree.map(jnp.asarray,
+                       dg.marg_dense_np(msba.marg_factor, 0, n, NW))
     st = dg.pack_state(msba, 0, n, NW)
     sel = dg.make_sel_pose(NW)
-    Hd, bd, errd = dg.linearize(st, pg, Hp, vp, linR, lint, sel)
+    Hd, bd, errd = dg.linearize(st, pg, Hp, vp, linR, lint, sel, mgd)
     Hd, bd, errd = np.asarray(Hd), np.asarray(bd), float(errd)
 
     p = perm_to_device(keys, slices, n, NW)
@@ -227,10 +229,12 @@ def test_lm_matches_host(rng):
     res = LevenbergMarquardt(g, vals).optimize()
 
     pg = dg.pack_graph(msba, 0, n, NW)
+    mgd = jax.tree.map(jnp.asarray,
+                       dg.marg_dense_np(msba.marg_factor, 0, n, NW))
     st = dg.pack_state(msba, 0, n, NW)
     sel = dg.make_sel_pose(NW)
     st2, (err, _) = jax.jit(dg.lm_optimize, static_argnames=())(
-        st, pg, Hp, vp, linR, lint, sel)
+        st, pg, Hp, vp, linR, lint, sel, mgd)
 
     for i in range(n):
         Th = res[X(i)]

@@ -79,24 +79,20 @@ def make_inputs(seed=0):
     d["odo_mask"] = np.zeros(NW, bool)
     d["odo_vel"] = np.zeros((NW, 3))
     d["odo_info"] = np.eye(3)
-    MK = 12
-    d["mg_mask"] = np.arange(MK) < 3
-    d["mg_type"] = np.arange(MK) % 3
-    d["mg_frame"] = np.zeros(MK, np.int32)
-    d["mg_linR"] = np.tile(np.eye(3), (MK, 1, 1))
-    d["mg_lint"] = np.zeros((MK, 3))
-    d["mg_linvec"] = np.zeros((MK, 6))
-    mh = rng.normal(size=(MK * 15, MK * 15)) * 0.03
-    d["mg_H"] = mh @ mh.T
-    d["mg_v"] = rng.normal(size=(MK * 15,)) * 0.01
     pg_flat = dg.flatten_graph_np(d, NW)
     pg = dg.unflatten_graph(jnp.asarray(pg_flat), NW)
+    md = dg.marg_identity_np(NW)
+    md.mask[:3] = True
+    blk = rng.normal(size=(45, 45)) * 0.03
+    md.H[:45, :45] = blk @ blk.T
+    md.v[:45] = rng.normal(size=45) * 0.01
+    mgd = dg.MargDense(*(jnp.asarray(a) for a in md))
 
     vh = rng.normal(size=(NW * 6, NW * 6)) * 0.1
     vis_H = jnp.asarray(vh @ vh.T + 5 * np.eye(NW * 6), jnp.float32)
     vis_v = jnp.asarray(rng.normal(size=(NW * 6,)) * 0.1, jnp.float32)
     sel = jnp.asarray(dg._sel_pose(NW))
-    return st, pg, vis_H, vis_v, sel, n
+    return st, pg, mgd, vis_H, vis_v, sel, n
 
 
 def slope(fn, mix, x0, n1=2, n2=12, reps=3):
@@ -121,7 +117,7 @@ def slope(fn, mix, x0, n1=2, n2=12, reps=3):
 def main():
     want = set(sys.argv[1:]) or {"linearize", "chol", "lm", "rounds"}
     print("backend:", jax.default_backend(), flush=True)
-    st, pg, vis_H, vis_v, sel, n = make_inputs()
+    st, pg, mgd, vis_H, vis_v, sel, n = make_inputs()
 
     if "linearize" in want:
         @jax.jit
@@ -129,7 +125,7 @@ def main():
             st2 = st._replace(t=st.t + 1e-6 * x[:NW, :3])
             with jax.default_matmul_precision("highest"):
                 H, b, err = dg.linearize(st2, pg, vis_H, vis_v, st.R,
-                                         st.t, sel)
+                                         st.t, sel, mgd)
             return H
 
         t = slope(lin_step, lambda x, out: out[: NW, : NW * 15], st.t[:, :1]
@@ -146,8 +142,8 @@ def main():
             return H + 1e-9 * jnp.outer(d, d)
 
         with jax.default_matmul_precision("highest"):
-            H0, _, _ = jax.jit(dg.linearize)(st, pg, vis_H, vis_v, st.R,
-                                             st.t, sel)
+            H0, _, _ = jax.jit(dg.linearize)(st, pg, vis_H, vis_v,
+                                             st.R, st.t, sel, mgd)
         t = slope(chol_step, lambda x, out: out, H0)
         print(f"chol          {t*1e3:8.2f} ms", flush=True)
 
@@ -155,8 +151,8 @@ def main():
         @jax.jit
         def lm_step(x):
             st2 = st._replace(t=st.t + 1e-7 * x[:, :3])
-            st3, (err, it) = dg.lm_optimize(st2, pg, vis_H, vis_v, st.R,
-                                            st.t, sel)
+            st3, (err, it) = dg.lm_optimize(st2, pg, vis_H, vis_v,
+                                            st.R, st.t, sel, mgd)
             return jnp.concatenate([st3.t, st3.vel], axis=1)
 
         t = slope(lm_step, lambda x, out: out, jnp.zeros((NW, 6)))
@@ -178,7 +174,7 @@ def main():
         jj = jnp.asarray((np.asarray(ii) + 1) % n, jnp.int32)
         mask = jnp.ones((E,), bool)
         fg_flat = dg.flatten_state(st)
-        spec = dg._graph_spec(NW, 4, 4, 12)
+        spec = dg._graph_spec(NW, 4, 4)
         pg_flat = jnp.concatenate(
             [jnp.asarray(getattr(pg, name), jnp.float32).reshape(-1)
              for name, _, _ in spec])
@@ -189,7 +185,7 @@ def main():
             out = dg.coupled_rounds_device(
                 poses + 1e-8 * x[:, :7], disps, damping, intr, target,
                 weight, ii, jj, mask, jnp.asarray(0, jnp.int32),
-                jnp.asarray(n, jnp.int32), fg_flat, pg_flat, A,
+                jnp.asarray(n, jnp.int32), fg_flat, pg_flat, mgd, A,
                 P=P, NW=NW, n_iters=2)
             return out[0]
 
