@@ -738,22 +738,38 @@ def marginalize_window_device(
                             mgd_old, hold_empty=False)
 
         # Schur-eliminate rows [0, 15m) (marginalize_out: regularized
-        # inverse of the eliminated block)
+        # inverse of the eliminated block).  IMU information spans ~10
+        # orders of magnitude across dims, so the elimination runs on the
+        # Jacobi-scaled system (unit diagonal) -- in f32 a raw Cholesky of
+        # the mixed-scale block loses the small-pivot dims entirely, and
+        # any absolute regularizer is wrong at one end of the scale.
         rm = ar15 < 15 * m
         keep = (~rm) & (ar15 < 15 * k_end)
         rmf = rm.astype(H.dtype)
         kf = keep.astype(H.dtype)
-        Hrr = H * rmf[:, None] * rmf[None, :]
-        # identity on non-eliminated rows; small reg on eliminated ones
-        # (host: +1e-10 in f64; f32 needs a relative floor for empty dims)
-        reg = 1e-10 + 1e-6 * jnp.max(jnp.abs(jnp.diagonal(Hrr)))
-        Hrr = Hrr + jnp.diag(jnp.where(rm, reg, 1.0).astype(H.dtype))
-        Hrk = H * rmf[:, None] * kf[None, :]
+        # the whole complement runs in Jacobi-scaled (correlation) space:
+        # information spans ~10 orders of magnitude across dims and f32
+        # cancellation must happen at O(1), not at the raw scales
+        dsc = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
+        live = dsc > 1e-20
+        dinv = jnp.where(live, 1.0 / jnp.where(live, dsc, 1.0), 1.0)
+        Hn = H * dinv[:, None] * dinv[None, :]
+        bn = b * dinv
+        Hrr = Hn * rmf[:, None] * rmf[None, :]
+        # unit pivots on eliminated dims (zero-information dims included),
+        # identity rows elsewhere; 1e-6 relative reg (the host adds 1e-10
+        # absolute in f64)
+        Hrr = Hrr + jnp.diag(
+            jnp.where(rm, 1e-6 + jnp.where(live, 0.0, 1.0), 1.0)
+            .astype(H.dtype))
+        Hrk = Hn * rmf[:, None] * kf[None, :]
         c, low = jax.scipy.linalg.cho_factor(Hrr, lower=True)
         X = jax.scipy.linalg.cho_solve((c, low), Hrk)
-        xb = jax.scipy.linalg.cho_solve((c, low), b * rmf)
-        Hm = H * kf[:, None] * kf[None, :] - Hrk.T @ X
-        bm = b * kf - Hrk.T @ xb
+        xb = jax.scipy.linalg.cho_solve((c, low), bn * rmf)
+        Hmn = Hn * kf[:, None] * kf[None, :] - Hrk.T @ X
+        bmn = bn * kf - Hrk.T @ xb
+        Hm = Hmn * dsc[:, None] * dsc[None, :]
+        bm = bmn * dsc
 
     # re-base kept slots to the new origin t0 = s0 + m
     sh = 15 * m
@@ -887,6 +903,33 @@ def pack_graph_np(msba, t0: int, t1: int, NW: int, PP: int = 4, PB: int = 4):
                 gnss_info=GNSS_NOISE.information.astype(f32),
                 gnss_k2=np.asarray(GNSS_NOISE.cauchy_k**2, f32),
                 **odo, odo_info=ODO_NOISE.information.astype(f32))
+
+
+def marg_dense_to_factor(md, t0: int):
+    """Pulled :class:`MargDense` (numpy) -> host LinearContainerFactor at
+    global frame keys (origin ``t0``).  Dims the device marginal never
+    touched keep zero rows -- the dense encoding of an absent key."""
+    from .factors import B, V, X, LinearContainerFactor
+    from .se3np import Pose
+
+    mask = np.asarray(md.mask)
+    frames = np.nonzero(mask)[0]
+    if len(frames) == 0:
+        return None
+    keys, dims, lin, idx = [], [], {}, []
+    for f in frames:
+        i = t0 + int(f)
+        row = np.asarray(md.lin[f], np.float64)
+        keys += [X(i), V(i), B(i)]
+        dims += [6, 3, 6]
+        lin[X(i)] = Pose(row[:9].reshape(3, 3), row[9:12])
+        lin[V(i)] = row[12:15]
+        lin[B(i)] = row[15:21]
+        idx += list(range(15 * int(f), 15 * int(f) + 15))
+    ix = np.asarray(idx, int)
+    H = np.asarray(md.H, np.float64)[np.ix_(ix, ix)]
+    v = np.asarray(md.v, np.float64)[ix]
+    return LinearContainerFactor(keys, dims, H, v, lin)
 
 
 def marg_dense_np(mf, t0: int, t1: int, NW: int):

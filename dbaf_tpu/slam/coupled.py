@@ -92,6 +92,8 @@ class MultiSensorBA:
         self._lm_stats = None  # (n_iters,) realized LM iterations
         self._fg_rows_np = None  # host state copy riding the host_pack pull
         self._mgd_cache = None   # (key, device MargDense) upload cache
+        self._marg_dev = None    # device-computed MargDense (or None)
+        self._marg_dev_origin = -1
 
     # ------------------------------------------------------------------
     def set_prior(self, t0: int, t1: int):
@@ -122,7 +124,7 @@ class MultiSensorBA:
         predecessor inside the marginal (depth_video.py:272-304)."""
         has_gnss = self.gnss_init_t1 > 0 and self.state.gnss_valid[t1]
         has_odo = self.state.odo_valid[t1]
-        if not (has_gnss or has_odo) or self.marg_factor is None:
+        if not (has_gnss or has_odo) or self._marg_host() is None:
             return
         graph = FactorGraph([self.marg_factor])
         values = Values(self.marg_factor.lin_point)
@@ -182,14 +184,101 @@ class MultiSensorBA:
         return vals
 
     # ------------------------------------------------------------------
-    def _marginalize(self, t0: int, t1: int, itrs: int):
-        """Window-advance marginalization (depth_video.py:350-462)."""
-        marg_idx = (
+    def _marg_host(self):
+        """Host LinearContainerFactor view of the marginal.  When the
+        marginal lives on device (device_marg path) this pulls it once
+        and converts; the host copy then becomes the source of truth."""
+        if self._marg_dev is not None:
+            from ..fusion import device_graph as dg
+            md = jax.tree.map(np.asarray, jax.device_get(self._marg_dev))
+            self.marg_factor = dg.marg_dense_to_factor(
+                md, self._marg_dev_origin)
+            self._marg_dev = None
+            self._mgd_cache = None
+        return self.marg_factor
+
+    def _marg_idx(self, t0: int):
+        """Edges whose visual information is folded into the marginal on
+        a window advance (depth_video.py:354-360)."""
+        return (
             (self.cur_ii >= self.last_t0)
             & (self.cur_ii < t0)
             & (self.cur_ii < self.last_t1 - 2)
             & (self.cur_jj < self.last_t1 - 2)
         )
+
+    def _marginalize_device(self, t0: int, t1: int) -> bool:
+        """Window-advance marginalization as ONE device dispatch with zero
+        pulls (device_graph.marginalize_window_device); the marginal stays
+        device-resident until a host consumer materializes it.  Numeric
+        core of :meth:`_marginalize`; returns False to fall back to the
+        host f64 path (reinit inflation, capacity miss)."""
+        from ..fusion import device_graph as dg
+
+        NW = self.cfg.sensors.fg_cap
+        P = self.cfg.ba.window
+        m = t0 - self.last_t0
+        n_old = self.last_t1 - self.last_t0
+        if self.reinit or m <= 0 or n_old > NW or NW > P:
+            return False
+
+        marg_idx = self._marg_idx(t0)
+        marg_ii = self.cur_ii[marg_idx]
+        marg_jj = self.cur_jj[marg_idx]
+        marg_t1 = int(marg_jj.max()) + 1 if len(marg_ii) else t0 + 1
+        if marg_t1 - self.last_t0 > NW:
+            return False
+        if len(marg_ii) > 0 and self.cur_target is None:
+            return False
+        pgf = dg.pack_graph_flat(self, self.last_t0, self.last_t1, NW)
+        if pgf is None:
+            return False
+        mgd_old = self._mgd_device(self.last_t0, self.last_t1, NW)
+        if mgd_old is None:
+            return False
+        fgf = dg.pack_state_flat(self, self.last_t0, self.last_t1, NW)
+
+        # bookkeeping identical to the host path
+        if len(marg_ii) > 0:
+            for i in range(self.last_t0, t0):
+                self.video.archive(i)
+        for i in sorted(list(self.prior_factor_map.keys())):
+            del self.prior_factor_map[i]
+
+        if self.cur_target is not None:
+            e_cap = self.cur_target.shape[0]
+            sel = np.nonzero(marg_idx)[0]
+            sel_pad = np.zeros(e_cap, dtype=np.int32)
+            sel_pad[: len(sel)] = sel
+            tgt = _gather_rows(self.cur_target, jnp.asarray(sel_pad))
+            wgt = _gather_rows(self.cur_weight, jnp.asarray(sel_pad))
+        else:  # window advance before any coupled call: no visual info
+            h8, w8 = self.video.disps.shape[1:]
+            tgt = jnp.zeros((1, h8, w8, 2), jnp.float32)
+            wgt = jnp.zeros((1, h8, w8, 2), jnp.float32)
+            e_cap = 1
+        ii_d, jj_d, mask = self._edge_args(marg_ii, marg_jj, e_cap,
+                                           self.last_t0)
+        self._marg_dev = dg.marginalize_window_device(
+            self.video.poses, self.video.disps, self.video.damping,
+            self.video.intrinsics, tgt, wgt, ii_d, jj_d, mask,
+            jnp.asarray(self.last_t0, jnp.int32),
+            jnp.asarray(fgf), jnp.asarray(pgf), mgd_old, self._A_block(),
+            jnp.asarray(m, jnp.int32),
+            jnp.asarray(marg_t1 - self.last_t0, jnp.int32),
+            jnp.asarray(n_old, jnp.int32),
+            P=P, NW=NW, eps_damping=self.cfg.ba.eps_damping,
+        )
+        self._marg_dev_origin = t0
+        self.marg_factor = None
+        self._mgd_cache = None
+        return True
+
+    # ------------------------------------------------------------------
+    def _marginalize(self, t0: int, t1: int, itrs: int):
+        """Window-advance marginalization (depth_video.py:350-462)."""
+        self._marg_host()  # device marginal -> host before f64 algebra
+        marg_idx = self._marg_idx(t0)
         marg_ii = self.cur_ii[marg_idx]
         marg_jj = self.cur_jj[marg_idx]
         marg_paras: List[str] = []
@@ -283,7 +372,9 @@ class MultiSensorBA:
             self.sync_host()  # marginalization reads host-side state
             if self.last_t0 >= t0:
                 t0 = self.last_t0
-            else:
+            elif not (self.cfg.sensors.device_solver
+                      and self.cfg.sensors.device_marg
+                      and self._marginalize_device(t0, t1)):
                 self._marginalize(t0, t1, itrs)
             self.last_t0 = t0
             self.last_t1 = t1
@@ -321,7 +412,7 @@ class MultiSensorBA:
             if t0 <= i < t1:
                 for f in self.prior_factor_map[i]:
                     base.add(f)
-        if self.marg_factor is not None:
+        if self._marg_host() is not None:
             base.add(self.marg_factor)
         if self.gnss_init_t1 > 0:
             for i in range(t0, t1):
@@ -406,7 +497,9 @@ class MultiSensorBA:
             self.sync_host()
             if self.last_t0 >= t0:
                 t0 = self.last_t0
-            else:
+            elif not (self.cfg.sensors.device_solver
+                      and self.cfg.sensors.device_marg
+                      and self._marginalize_device(t0, t1)):
                 self._marginalize(t0, t1, itrs)
             self.last_t0 = t0
             self.last_t1 = t1
@@ -458,6 +551,9 @@ class MultiSensorBA:
         window (host fallback)."""
         from ..fusion import device_graph as dg
 
+        if self._marg_dev is not None and self._marg_dev_origin == t0:
+            return self._marg_dev
+        self._marg_host()  # origin mismatch: self-heal through the host
         key = (t0, id(self.marg_factor))
         if self._mgd_cache is not None and self._mgd_cache[0] == key:
             return self._mgd_cache[1]
@@ -562,8 +658,10 @@ class MultiSensorBA:
         """Picklable snapshot: device arrays -> numpy, video unlinked
         (re-attached by DBAFusion.load_state)."""
         self.sync_host()
+        self._marg_host()
         d = dict(self.__dict__)
         d["video"] = None
+        d["_marg_dev"] = None
         d["_fg_state"] = None
         d["_fg_pg"] = None
         d["_fg_key"] = None
@@ -596,7 +694,7 @@ class MultiSensorBA:
             mapping[X(i)] = X(i - roll)
             mapping[V(i)] = V(i - roll)
             mapping[B(i)] = B(i - roll)
-        if self.marg_factor is not None:
+        if self._marg_host() is not None:
             self.marg_factor = self.marg_factor.rekey(mapping)
         for fs in self.prior_factor_map.values():
             for f in fs:

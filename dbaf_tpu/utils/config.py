@@ -98,6 +98,14 @@ class SensorConfig:
     # coupled iteration, SURVEY.md 5.8); falls back to the host f64 path
     # when the window exceeds fg_cap or on unsupported factor layouts
     device_solver: bool = False
+    # device-resident sliding-window marginalization (the numeric core of
+    # coupled._marginalize as one dispatch, device_graph.py
+    # marginalize_window_device); host f64 fallback on reinit/capacity
+    # miss.  Measured on TPU (tools/profile_coupled.py): 159 vs 208
+    # ms/keyframe -- the saved blocking pull beats the ~0.5 extra LM
+    # iterations/keyframe the f32 marginal costs.  Only active together
+    # with device_solver.
+    device_marg: bool = True
     fg_cap: int = 20                 # static factor-graph window capacity
 
 

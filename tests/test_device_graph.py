@@ -242,3 +242,65 @@ def test_lm_matches_host(rng):
         assert np.abs(np.asarray(st2.R[i]) - Th.R).max() < 5e-3
         assert np.abs(np.asarray(st2.vel[i]) - res[V(i)]).max() < 5e-3
         assert np.abs(np.asarray(st2.bias[i]) - res[B(i)]).max() < 5e-3
+
+
+def test_device_marginalization_matches_marginalize_out(rng):
+    """marginalize_window_device (no visual edges) must reproduce the host
+    marginalize_out Schur complement: eliminate the first m frames of the
+    window graph (IMU + priors + old marginal), compare the dense forms."""
+    n, NW, m = 6, 8, 2
+    P_buf = 12
+    msba = build_window(rng, n=n)
+    vals = host_values(msba, n)
+
+    # ---- host: the graph coupled._marginalize builds (frames < m only)
+    g = FactorGraph()
+    marg_paras = []
+    for i in range(m):
+        marg_paras += [X(i), V(i), B(i)]
+        g.add(CombinedImuFactor(X(i), V(i), X(i + 1), V(i + 1),
+                                B(i), B(i + 1),
+                                msba.state.preintegrations[i]))
+        if msba.state.odo_valid[i]:
+            g.add(VelFactor(X(i), V(i), msba.state.odo_vel[i], ODO_NOISE))
+    for i in list(msba.prior_factor_map.keys()):
+        if i < m:
+            for f in msba.prior_factor_map[i]:
+                g.add(f)
+    g.add(msba.marg_factor)
+    mf_host = marginalize_out(g, vals, marg_paras)
+    md_host = dg.marg_dense_np(mf_host, m, n, NW)
+
+    # ---- device kernel (empty visual system)
+    pgf = dg.pack_graph_flat(msba, 0, n, NW)
+    fgf = dg.pack_state_flat(msba, 0, n, NW)
+    mgd_old = jax.tree.map(jnp.asarray, dg.marg_dense_np(
+        msba.marg_factor, 0, n, NW))
+    h8, w8 = 4, 6
+    zt = jnp.zeros((1, h8, w8, 2), jnp.float32)
+    poses_buf = jnp.tile(
+        jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32)[None], (P_buf, 1))
+    disps_buf = jnp.ones((P_buf, h8, w8), jnp.float32)
+    damp_buf = jnp.full((P_buf, h8, w8), 1e-4, jnp.float32)
+    intr = jnp.asarray([8.0, 8.0, w8 / 2, h8 / 2], jnp.float32)
+    md_dev = dg.marginalize_window_device(
+        poses_buf, disps_buf, damp_buf, intr,
+        zt, zt, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+        jnp.zeros(1, bool), jnp.asarray(0, jnp.int32),
+        jnp.asarray(fgf), jnp.asarray(pgf), mgd_old,
+        jnp.eye(6, dtype=jnp.float32),
+        jnp.asarray(m, jnp.int32), jnp.asarray(n, jnp.int32),
+        jnp.asarray(n, jnp.int32), P=P_buf, NW=NW,
+    )
+    md_dev = jax.tree.map(np.asarray, md_dev)
+
+    # the kernel keeps zero-information frames in its mask; compare the
+    # informative region (host keys' frames) numerically
+    scale = np.abs(md_host.H).max()
+    assert scale > 0
+    np.testing.assert_allclose(md_dev.H, md_host.H, atol=5e-4 * scale)
+    vscale = max(np.abs(md_host.v).max(), 1.0)
+    np.testing.assert_allclose(md_dev.v, md_host.v, atol=5e-4 * vscale)
+    live = md_host.mask
+    np.testing.assert_allclose(md_dev.lin[live], md_host.lin[live],
+                               atol=1e-5)

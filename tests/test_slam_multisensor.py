@@ -238,3 +238,59 @@ def test_coupled_cull_hysteresis_parity():
     np.testing.assert_allclose(est_f, est_h, atol=1e-5)
     # the scenario must actually exercise culling for this to mean anything
     assert kept_f[-1] < n_frames - 2, kept_f
+
+
+@pytest.mark.slow
+def test_device_marginalization_matches_host():
+    """marginalize_window_device (one dispatch, device-resident marginal)
+    must track ground truth as well as the host f64 marginalize_out chain.
+
+    Exact trajectory parity is unattainable: the translation-hysteresis
+    cull decisions sit near thresholds, so even a 1e-5 relative marginal
+    perturbation flips keyframe counts (measured).  The acceptance is
+    accuracy equivalence: both runs' SE3-aligned ATE against ground truth
+    must match closely (the dense-form algebra itself is verified exactly
+    in tests/test_device_graph.py)."""
+    n_frames = 26
+    imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, z0=4.0))
+    gt_cw = np.stack(gt_cw).astype(np.float32)
+    gt_disps = np.stack(gt_disps).astype(np.float32)
+
+    def run(device_marg):
+        cfg = make_cfg(vi_warmup=12, keyframe_thresh=-1.0, rollup_start=1000)
+        cfg.sensors.device_solver = True
+        cfg.sensors.device_marg = device_marg
+        h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
+                      imu_rows)
+        dev_margs = 0
+        for k in range(n_frames):
+            h.feed(k)
+            dev_margs += h.graph.coupled._marg_dev is not None
+        t1 = h.frontend.t1
+        est = np.asarray([h.graph.coupled.state.wTbs[k].t
+                          for k in range(t1)])
+        gt_ids = np.round(h.video.tstamp[:t1] * FPS).astype(int)
+        ref = np.stack([poses_at[g][1] for g in gt_ids])
+        bs = np.asarray([h.graph.coupled.state.bs[k] for k in range(t1)])
+        return ate_rmse(est, ref, align="se3"), bs, dev_margs, t1
+
+    ate_d, bs_d, n_dev, t1_d = run(True)
+    ate_h, bs_h, n_host, t1_h = run(False)
+    assert n_dev > 5, n_dev      # the device path actually ran
+    assert n_host == 0, n_host
+    assert abs(t1_d - t1_h) <= 2, (t1_d, t1_h)
+    span = 2.2  # scene extent (see traj above)
+    assert ate_d < max(1.3 * ate_h, ate_h + 0.005 * span), (ate_d, ate_h)
+    assert np.all(np.abs(bs_d) < 0.2), bs_d.max()

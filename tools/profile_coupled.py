@@ -87,7 +87,8 @@ def report_stages():
               f"last: {LM_STATS[-1].tolist()}", flush=True)
 
 
-def run(device_solver: bool, n_frames: int = 26) -> float:
+def run(device_solver: bool, n_frames: int = 26,
+        device_marg: bool = False) -> float:
     imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
     gt_cw, gt_disps = [], []
@@ -106,6 +107,7 @@ def run(device_solver: bool, n_frames: int = 26) -> float:
 
     cfg = make_cfg(vi_warmup=12, keyframe_thresh=-1.0, rollup_start=1000)
     cfg.sensors.device_solver = device_solver
+    cfg.sensors.device_marg = device_marg
     h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
                   imu_rows)
 
@@ -118,7 +120,8 @@ def run(device_solver: bool, n_frames: int = 26) -> float:
             pass
     # coupled regime = frames after VI init (imu_enabled); report the tail
     tail = times[-8:]
-    name = "device" if device_solver else "host"
+    name = ("device+marg" if device_marg else "device") \
+        if device_solver else "host"
     print(f"coupled[{name}]  {1e3 * np.mean(tail):8.1f} ms/keyframe "
           f"(tail of {len(times)}; min {1e3 * np.min(tail):.1f})",
           flush=True)
@@ -136,6 +139,10 @@ def main():
         STAGES.clear()
     if "device" in want:
         run(True)
+        report_stages()
+        STAGES.clear()
+    if "marg" in want:
+        run(True, device_marg=True)
         report_stages()
 
 
