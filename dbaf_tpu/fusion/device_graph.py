@@ -691,6 +691,27 @@ def marginalize_window_device(
     m, k_end, n_old,       # eliminate [0,m); keep [m,k_end); live count
     P: int, NW: int, eps_damping: float = 1e-7,
 ) -> MargDense:
+    """Flat-operand jit wrapper around :func:`marginalize_window_body`
+    (the host-driven device_marg path: one dispatch, zero pulls)."""
+    fg = unflatten_state(fg_flat, n_old, NW)
+    pg = unflatten_graph(pg_flat, NW)
+    return marginalize_window_body(
+        poses_buf, disps_buf, damping_buf, intrinsics,
+        marg_target, marg_weight, ii_d, jj_d, mask_m, s0,
+        fg, pg, mgd_old, A, m, k_end,
+        P=P, NW=NW, eps_damping=eps_damping,
+    )
+
+
+def marginalize_window_body(
+    poses_buf, disps_buf, damping_buf, intrinsics,
+    marg_target, marg_weight, ii_d, jj_d, mask_m,
+    s0,                    # global slot origin (= last_t0)
+    fg: FgState, pg: PackedGraph,
+    mgd_old: MargDense, A,
+    m, k_end,              # eliminate [0,m); keep [m,k_end)
+    P: int, NW: int, eps_damping: float = 1e-7,
+) -> MargDense:
     """The numeric core of coupled._marginalize on device (ONE dispatch,
     zero pulls): visual hessian of the marginalized edges -> body
     conversion -> linearize {IMU/priors/GNSS/odometry on the eliminated
@@ -698,10 +719,9 @@ def marginalize_window_device(
     first ``m`` frame blocks -> re-base to the new window origin.  Matches
     fusion.graph.marginalize_out semantics (depth_video.py:350-459); the
     dims absent from the host factor graph carry zero rows here, which is
-    the dense encoding of "key not present"."""
+    the dense encoding of "key not present".  Traceable inside a larger
+    jit (the async coupled step kernel composes it directly)."""
     N = NW * 15
-    fg = unflatten_state(fg_flat, n_old, NW)
-    pg = unflatten_graph(pg_flat, NW)
     ar15 = jnp.arange(N)
     arW = jnp.arange(NW)
 
