@@ -1,29 +1,33 @@
-"""Fused multi-round coupled keyframe step: ONE dispatch per update() call.
+"""Fused multi-round coupled keyframe step: ONE dispatch per KEYFRAME.
 
 The sync coupled path issues ~3 dispatches per update round (update kernel,
 edge gather, solve) and on a remote-transport TPU each dispatch costs a
 round trip, dominating the keyframe budget.  This composes the update
 kernel's raw body (slam/graph.py) with the device factor-graph solve
 (fusion/device_graph.py) inside one ``lax.fori_loop``, so a whole
-``update(rounds=iters1)`` call -- reprojection, correlation, GRU, reduced
-camera system, factor-graph LM x2, retraction, times ``rounds`` -- is a
-single jit dispatch with zero host syncs.  The coupled analog of the
-visual-only async step (slam/async_pipeline.py).
+coupled keyframe step -- ``rounds_a`` update rounds (reprojection,
+correlation, GRU, reduced camera system, factor-graph LM x2, retraction
+each), the in-kernel multisensor CULL decision (flow distance +
+translation hysteresis, dbaf_frontend.py:317-336), and the conditional
+``rounds_b`` post-decision rounds -- is a single jit dispatch with zero
+host syncs.  The coupled analog of the visual mega step
+(graph.py update_mega / slam/async_pipeline.py).
 
-Reference flow being fused: dbaf_frontend.py:243-257 (iters1/iters2 rounds
-of covisible_graph.update -> depth_video.ba multi-sensor branch).
+Reference flow being fused: dbaf_frontend.py:243-357 (iters1 rounds of
+covisible_graph.update -> depth_video.ba multi-sensor branch -> keyframe
+cull decision -> iters2 rounds).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from ..fusion import device_graph as dg
-from ..ops import dba, lie
+from ..ops import lie
 from ..utils.config import DBAFusionConfig
+
+MAX_ROUNDS = 8  # static lm_stats capacity (iters1 + iters2 <= 8 everywhere)
 
 
 def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
@@ -34,12 +38,9 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
     wf = cfg.graph.frontend_window
     n_skip = len(cfg.graph.skip_edge) if wf == 5 else 0
     pack_len = 1 + 5 * wf + n_skip
+    kf_thresh = cfg.frontend.keyframe_thresh
+    t_thresh = cfg.frontend.translation_threshold
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("rounds", "iters", "use_inactive", "use_sens"),
-        donate_argnums=(0, 1, 8, 9, 10),
-    )
     def fused(
         # video buffers
         poses, disps, disps_sens, damping, intrinsics, fmaps_buf, inps_buf,
@@ -54,8 +55,11 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
         # jj_d | mask | t0c | n]), the dense marginal prior (device-
         # resident MargDense), and the cached camera->body adjoint
         blob, mgd, A,
+        # traced round counts: rounds_a pre-decision rounds, rounds_b
+        # post-decision rounds (skipped when the keyframe is culled)
+        rounds_a, rounds_b,
         # static
-        rounds: int, iters: int, use_inactive: bool, use_sens: bool,
+        iters: int, use_inactive: bool, use_sens: bool,
     ):
         G = dg.graph_flat_size(NW)
         e_all = (blob.shape[0] - G - NW * 21 - 2) // 4
@@ -94,36 +98,69 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             return (poses, disps, res.edges.net, res.edges.target,
                     res.edges.weight, fg, res.host_pack,
                     cur_target, cur_weight,
-                    lm_stats.at[r].set(lm_its))
+                    lm_stats.at[jnp.minimum(r, MAX_ROUNDS - 1)].set(lm_its))
+
+        def hyst_norms(poses):
+            # translation-hysteresis norms (dbaf_frontend.py:319-325):
+            # |rel t| between candidates t1-10+k (k<7) and reference t1-2
+            cand = jnp.clip(t1 - 10 + jnp.arange(7, dtype=jnp.int32),
+                            0, P - 1)
+            ref = poses[jnp.clip(t1 - 2, 0, P - 1)]
+            rel = lie.se3_mul(poses[cand], lie.se3_inv(ref)[None])
+            return jnp.linalg.norm(rel[:, :3], axis=1)
+
+        def decide(core):
+            """Multisensor cull decision on the post-rounds_a state
+            (frontend semantics: d from the last round's pre-solve metric
+            pack, hysteresis on the post-solve poses; the out-of-range
+            candidate slots are masked exactly like the host's k0 slice)."""
+            poses, pack = core[0], core[6]
+            d = pack[0]
+            hyst = hyst_norms(poses)
+            lo = jnp.where(t1 > 10, t1 - 10, t1 - 6)
+            k0 = jnp.maximum(lo, 0) - (t1 - 10)
+            valid = jnp.arange(7, dtype=jnp.int32) >= k0
+            cull = (d < kf_thresh) | jnp.any((hyst < t_thresh) & valid)
+            return cull, d
 
         E_all = sel_pad.shape[0]
         H, W = e_target.shape[1], e_target.shape[2]
-        carry = jax.lax.fori_loop(
-            0, rounds, one,
-            (poses, disps, e_net, e_target, e_weight, fg,
-             jnp.zeros((pack_len,), jnp.float32),
-             jnp.zeros((E_all, H, W, 2), jnp.float32),
-             jnp.zeros((E_all, H, W, 2), jnp.float32),
-             jnp.zeros((rounds, 2), jnp.int32)),
+        core0 = (poses, disps, e_net, e_target, e_weight, fg,
+                 jnp.zeros((pack_len,), jnp.float32),
+                 jnp.zeros((E_all, H, W, 2), jnp.float32),
+                 jnp.zeros((E_all, H, W, 2), jnp.float32),
+                 jnp.zeros((MAX_ROUNDS, 2), jnp.int32))
+
+        def gated_body(i, carry):
+            core, cull, d_c = carry
+            run = (i < rounds_a) | ~cull
+            core = jax.lax.cond(run, lambda c: one(i, c), lambda c: c, core)
+            cull, d_c = jax.lax.cond(
+                i == rounds_a - 1, decide, lambda c: (cull, d_c), core,
+            )
+            return core, cull, d_c
+
+        core, cull, d_cull = jax.lax.fori_loop(
+            0, rounds_a + rounds_b, gated_body,
+            (core0, jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32)),
         )
         (poses, disps, e_net, e_target, e_weight, fg, host_pack,
-         cur_target, cur_weight, lm_stats) = carry
+         cur_target, cur_weight, lm_stats) = core
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
         fg_flat_out = dg.flatten_state(fg)
-        # translation-hysteresis norms for the multisensor cull decision
-        # (dbaf_frontend.py:319-325 semantics, frontend._update): |rel t|
-        # between candidate frames t1-10+k (k<7, clipped) and ref t1-2,
-        # computed here so the decision needs no extra pose pull
-        cand = jnp.clip(t1 - 10 + jnp.arange(7, dtype=jnp.int32), 0, P - 1)
-        ref = poses[jnp.clip(t1 - 2, 0, P - 1)]
-        rel = lie.se3_mul(poses[cand], lie.se3_inv(ref)[None])
-        hyst = jnp.linalg.norm(rel[:, :3], axis=1)
         # append [hysteresis(7) | flat window state]: the host pulls the
         # cull-decision pack every keyframe anyway, so both ride the same
         # single D2H round trip
-        host_pack = jnp.concatenate([host_pack, hyst, fg_flat_out])
+        host_pack = jnp.concatenate([
+            jnp.asarray([jnp.where(cull, 1.0, 0.0), d_cull]),
+            host_pack[1:], hyst_norms(poses), fg_flat_out,
+        ])
         return (poses, disps, e_net, e_target, e_weight, edge_conf,
                 host_pack, cur_target, cur_weight, fg_flat_out,
                 lm_stats)
 
-    return fused
+    return jax.jit(
+        fused,
+        static_argnames=("iters", "use_inactive", "use_sens"),
+        donate_argnums=(0, 1, 8, 9, 10),
+    )

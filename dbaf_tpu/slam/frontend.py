@@ -282,9 +282,10 @@ class Frontend:
             self._update_visual_fused(cur_t, fc)
             return
 
-        self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
-
-        # rollup (dbaf_frontend.py:253-257)
+        # rollup (dbaf_frontend.py:253-257).  The reference interleaves it
+        # mid-keyframe (after iters1); it is pure index bookkeeping, so --
+        # exactly like the visual fused path -- it moves ahead of the
+        # update, which lets the whole keyframe run as ONE device dispatch.
         self.did_rollup = False
         if self.t1 > fc.rollup_start:
             roll = fc.rollup_shift
@@ -295,6 +296,30 @@ class Frontend:
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True
+
+        # fused coupled keyframe: iters1 rounds + in-kernel cull decision +
+        # conditional iters2 rounds in one dispatch with a single pull
+        mega = self.graph.update_coupled_mega(self.iters1, self.iters2)
+        if mega is not None:
+            culled, _d = mega
+            self._write_traj_row(cur_t, self.coupled.state.wTbs[self.t1 - 1])
+            if culled:
+                self.graph.rm_keyframe(self.t1 - 2)
+                self.coupled.rm_new_gnss(self.t1 - 2)
+                self.coupled.state.merge_keyframe(self.t1 - 2)
+                self.t1 -= 1
+            if self.video.imu_enabled and \
+                    self.coupled.gnss_init_time <= 0.0 \
+                    and len(self.all_gnss) > 0 \
+                    and self.coupled.ten0 is not None:
+                init_gnss(self.video, self.coupled, self.t1,
+                          self.coupled.ten0)
+            if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
+                self.graph.run_upsample(self.graph.agg_fn)
+            self.video.seed_next(self.t1)
+            return
+
+        self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
 
         # trajectory output: keep the row on device (pulled in a batch at
         # terminate) -- eager ops / per-keyframe pulls are expensive on
@@ -310,7 +335,9 @@ class Frontend:
         # computed inside the update kernel to save a round trip
         pack = self.graph.host_pack
         if pack is not None and not self.did_rollup:
-            d = float(pack[0])
+            # the cull distance sits just ahead of the proximity entries
+            # (index 0 on the per-round pack, 1 on the fused-kernel pack)
+            d = float(pack[self.graph._prox_offset - 1])
         else:
             d = float(
                 self.video.distance([self.t1 - 3], [self.t1 - 2], beta=self.beta)[0]

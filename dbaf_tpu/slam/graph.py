@@ -452,6 +452,7 @@ class CovisibleGraph:
         self._kernel = make_update_kernel(cfg, update_fn, self.e_cap, self.i_cap)
         self._conf_dev = None
         self._coupled_fused = None  # lazy fused coupled keyframe kernel
+        self.mega_count = 0         # fused coupled keyframe steps taken
         self._lm_stats_dev = None   # (rounds, 2) realized LM iterations
         self._host_pack_dev = None  # [cull_dist, prox...] from last update
         self._host_pack_np = None
@@ -714,8 +715,8 @@ class CovisibleGraph:
         self._flush()
 
         if coupled_mode and self.cfg.sensors.device_solver:
-            if self._update_coupled_fused(rounds, iters, use_inactive,
-                                          t0, t1, s0):
+            if self._update_coupled_fused(rounds, 0, iters, use_inactive,
+                                          t0, t1, s0) is not None:
                 self.age += rounds
                 return
 
@@ -791,12 +792,43 @@ class CovisibleGraph:
         self.age += rounds
 
     # ------------------------------------------------------------------
-    def _update_coupled_fused(self, rounds: int, iters: int,
-                              use_inactive: bool, t0: int, t1: int,
-                              s0: int) -> bool:
+    def update_coupled_mega(self, rounds_a: int, rounds_b: int,
+                            iters: int = 2):
+        """The fused coupled keyframe step: rounds_a update+solve rounds,
+        in-kernel multisensor cull decision (flow distance + translation
+        hysteresis), conditional rounds_b -- one dispatch, one host pull
+        (slam/coupled_fused.py).  Returns (culled, cull_distance), or None
+        to fall back to the two-call flow (window exceeds fg_cap /
+        unsupported factors / coupled mode off)."""
+        if (self.n == 0 or self.coupled is None
+                or not self.video.imu_enabled
+                or not self.cfg.sensors.device_solver
+                or not self.cfg.sensors.coupled_mega):
+            return None
+        self._flush()
+        t0 = max(1, int(self.ii.min()) + 1)
+        t1 = int(max(self.ii.max(), self.jj.max())) + 1
+        s0 = max(0, t1 - self.cfg.ba.window)
+        out = self._update_coupled_fused(rounds_a, rounds_b, iters, True,
+                                         t0, t1, s0)
+        if out is None:
+            return None
+        culled, d = out
+        self.mega_count += 1
+        self.age += rounds_a + (0 if culled else rounds_b)
+        if culled:
+            # prox entries were computed pre-shift; invalidate
+            self._host_pack_t1 = -(10**6)
+        return culled, d
+
+    # ------------------------------------------------------------------
+    def _update_coupled_fused(self, rounds_a: int, rounds_b: int,
+                              iters: int, use_inactive: bool, t0: int,
+                              t1: int, s0: int):
         """Fused multi-round coupled keyframe step: ONE dispatch for all
-        ``rounds`` (update round + factor-graph solve + retraction each),
-        slam/coupled_fused.py.  Returns False to fall back to the
+        rounds (update round + factor-graph solve + retraction each, plus
+        the in-kernel cull gate when rounds_b > 0), slam/coupled_fused.py.
+        Returns (culled, cull_distance), or None to fall back to the
         per-round path (window exceeds fg_cap / unsupported factors)."""
         e_mask = np.zeros(self.e_cap, dtype=bool)
         e_mask[: self.n] = True
@@ -819,7 +851,7 @@ class CovisibleGraph:
         prep = self.coupled.prepare_device(ii_full, jj_full, valid, t1,
                                            iters)
         if prep is None:
-            return False
+            return None
 
         NW = self.cfg.sensors.fg_cap
         if self._coupled_fused is None:
@@ -842,12 +874,13 @@ class CovisibleGraph:
             jnp.asarray(True, dtype=bool),
             self.aux,
             prep["blob"], prep["mgd"], prep["A"],
-            rounds=rounds, iters=iters, use_inactive=use_inactive,
+            jnp.asarray(rounds_a, jnp.int32), jnp.asarray(rounds_b, jnp.int32),
+            iters=iters, use_inactive=use_inactive,
             use_sens=self.video.has_depth,
         )
         (poses, disps, e_net, e_target, e_weight, edge_conf, host_pack,
          cur_target, cur_weight, fg, lm_stats) = out
-        self._lm_stats_dev = lm_stats  # (rounds, 2) realized LM iterations
+        self._lm_stats_dev = lm_stats  # (MAX_ROUNDS, 2) realized LM iters
         self.video.poses = poses
         self.video.disps = disps
         self.edges = EdgeArrays(e_net, e_target, e_weight)
@@ -857,14 +890,14 @@ class CovisibleGraph:
         self._host_pack_t1 = t1
         self._host_pack_tail = self.cfg.sensors.fg_cap * 21
         self.hyst_norms = None  # replaced by the pull below
-        self._prox_offset = 1
+        self._prox_offset = 2
         self.coupled.cur_target = cur_target
         self.coupled.cur_weight = cur_weight
         self.coupled._fg_state = fg
         self.coupled._fg_synced = False
-        _ = self.host_pack  # ONE pull: cull pack + window state rows
+        pack = self.host_pack  # ONE pull: cull pack + window state rows
         self.coupled.sync_host()
-        return True
+        return bool(pack[0] > 0.5), float(pack[1])
 
     # ------------------------------------------------------------------
     def update_mega(

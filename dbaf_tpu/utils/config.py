@@ -106,6 +106,12 @@ class SensorConfig:
     # iterations/keyframe the f32 marginal costs.  Only active together
     # with device_solver.
     device_marg: bool = True
+    # fused coupled keyframe step (slam/coupled_fused.py via
+    # graph.update_coupled_mega): iters1 rounds + in-kernel cull decision
+    # + conditional iters2 rounds in ONE dispatch with a single host pull
+    # per keyframe; off = the two-call flow (one dispatch+pull per update
+    # call).  Only active together with device_solver.
+    coupled_mega: bool = True
     fg_cap: int = 20                 # static factor-graph window capacity
 
 

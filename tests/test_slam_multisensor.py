@@ -189,9 +189,16 @@ def test_coupled_hessian_matches_native_ba(rng):
 
 @pytest.mark.slow
 def test_coupled_cull_hysteresis_parity():
-    """The in-kernel translation-hysteresis norms (coupled_fused.py, riding
-    the host_pack pull) must reproduce the host-side pose-pull fallback
-    exactly: same cull decisions, same keyframes, same trajectory."""
+    """Three implementations of the coupled keyframe step must agree
+    exactly -- same cull decisions, same keyframes, same trajectory:
+
+    * ``mega``: ONE dispatch/keyframe with the in-kernel cull decision
+      (graph.update_coupled_mega / coupled_fused.py gated rounds);
+    * ``pack``: two-call flow, host decision from the in-kernel hysteresis
+      norms riding the host_pack pull;
+    * ``pull``: two-call flow, host decision from a fresh pose pull
+      (the ``hyst_norms is None`` fallback, dbaf_frontend.py:319-336).
+    """
     n_frames = 26
     imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
@@ -209,14 +216,15 @@ def test_coupled_cull_hysteresis_parity():
     gt_cw = np.stack(gt_cw).astype(np.float32)
     gt_disps = np.stack(gt_disps).astype(np.float32)
 
-    def run(disable_fast_path):
+    def run(variant):
         cfg = make_cfg(vi_warmup=12, keyframe_thresh=0.05,
                        rollup_start=1000)
         cfg.sensors.device_solver = True
+        cfg.sensors.coupled_mega = variant == "mega"
         cfg.frontend.translation_threshold = 0.35  # triggers on this scene
         h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
                       imu_rows)
-        if disable_fast_path:
+        if variant == "pull":
             class _NoHyst(type(h.graph)):
                 hyst_norms = property(lambda s: None,
                                       lambda s, v: None)
@@ -225,16 +233,21 @@ def test_coupled_cull_hysteresis_parity():
         for k in range(n_frames):
             h.feed(k)
             kept.append(h.frontend.t1)
+        megas = h.graph.mega_count
         t1 = h.frontend.t1
         est = np.asarray([h.graph.coupled.state.wTbs[k].t
                           for k in range(t1)])
         stamps = np.asarray(h.video.tstamp[:t1])
-        return kept, stamps, est
+        return kept, stamps, est, megas
 
-    kept_f, st_f, est_f = run(False)
-    kept_h, st_h, est_h = run(True)
-    assert kept_f == kept_h                      # identical cull decisions
-    np.testing.assert_array_equal(st_f, st_h)    # identical keyframes
+    kept_m, st_m, est_m, megas = run("mega")
+    kept_f, st_f, est_f, _ = run("pack")
+    kept_h, st_h, est_h, _ = run("pull")
+    assert megas > 5, megas                      # the mega path actually ran
+    assert kept_m == kept_f == kept_h            # identical cull decisions
+    np.testing.assert_array_equal(st_m, st_f)    # identical keyframes
+    np.testing.assert_array_equal(st_f, st_h)
+    np.testing.assert_allclose(est_m, est_f, atol=1e-5)
     np.testing.assert_allclose(est_f, est_h, atol=1e-5)
     # the scenario must actually exercise culling for this to mean anything
     assert kept_f[-1] < n_frames - 2, kept_f
