@@ -1,0 +1,134 @@
+"""Scaling benchmark: edge-sharded DBA iteration throughput vs mesh size.
+
+SURVEY.md 7 stage 9 / BASELINE.md north star: keyframes/sec at 1 chip and
+scaling efficiency at N devices.  Shards the covisibility edges of one
+GN iteration across an ``edge`` mesh (parallel/shard_ba.py: sharded
+linearization, psum assembly, all_gather couplings, replicated solve) and
+measures steady-state iteration throughput per mesh size.
+
+On real multi-chip hardware this measures true ICI scaling.  Under the
+CPU emulation (--cpu N: ``xla_force_host_platform_device_count``) the
+virtual devices share physical cores, so the numbers validate that the
+sharded program compiles and runs at every mesh size -- not speedup.
+
+Usage:
+    python tools/bench_scaling.py            # real backend, all devices
+    python tools/bench_scaling.py --cpu 8    # 8 virtual CPU devices
+Prints one JSON line per mesh size.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="emulate N virtual CPU devices")
+    ap.add_argument("--edges", type=int, default=384,
+                    help="total covisibility edges (weak point: 48/window)")
+    ap.add_argument("--window", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=8,
+                    help="timed GN iterations per measurement")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        )
+    else:
+        from dbaf_tpu.utils.jax_setup import setup
+        setup()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from dbaf_tpu.ops import lie
+    from dbaf_tpu.parallel.shard_ba import make_sharded_ba_iteration
+
+    devs = jax.devices()
+    print(f"# backend={jax.default_backend()} devices={len(devs)}",
+          flush=True)
+
+    H8, W8 = 48, 64  # TUM-VI operating point (384x512 / 8)
+    P = args.window
+    E = args.edges
+    rng = np.random.default_rng(0)
+
+    # synthetic window: noisy poses over a textured plane
+    xi = rng.normal(size=(P, 6)).astype(np.float32) * 0.02
+    poses = lie.se3_retr(
+        jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32), (P, 1)),
+        jnp.asarray(xi),
+    )
+    disps = jnp.asarray(
+        0.5 + 0.1 * rng.random((P, H8, W8)), jnp.float32
+    )
+    intr = jnp.asarray([160.0, 160.0, W8 / 2, H8 / 2], jnp.float32)
+    ii = np.repeat(np.arange(P), E // P + 1)[:E].astype(np.int32)
+    jj = np.clip(ii + rng.integers(1, 4, size=E), 0, P - 1).astype(np.int32)
+    targets = jnp.asarray(
+        rng.random((E, H8, W8, 2)) * [W8, H8], jnp.float32
+    )
+    weights = jnp.asarray(
+        0.5 * np.ones((E, H8, W8, 2)), jnp.float32
+    )
+    eta = jnp.full((P, H8 * W8), 1e-4, jnp.float32)
+    mask = jnp.ones((E,), bool)
+
+    results = []
+    n = 1
+    sizes = []
+    while n <= len(devs):
+        sizes.append(n)
+        n *= 2
+    base = None
+    for n in sizes:
+        if E % n:
+            continue
+        mesh = Mesh(np.asarray(devs[:n]), ("edge",))
+        step = make_sharded_ba_iteration(mesh, P)
+        p, d = poses, disps
+        # warmup/compile
+        p, d = step(p, d, intr, targets, weights, eta,
+                    jnp.asarray(ii), jnp.asarray(jj), mask,
+                    jnp.asarray(1), jnp.asarray(P))
+        jax.block_until_ready(d)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            # chain outputs into inputs (transport memoization guard)
+            p, d = step(p, d, intr, targets, weights, eta,
+                        jnp.asarray(ii), jnp.asarray(jj), mask,
+                        jnp.asarray(1), jnp.asarray(P))
+        jax.block_until_ready(d)
+        dt = (time.perf_counter() - t0) / args.iters
+        ips = 1.0 / dt
+        if base is None:
+            base = ips
+        eff = ips / (base * n)
+        row = {
+            "metric": "sharded_ba_iterations_per_sec",
+            "devices": n,
+            "edges": E,
+            "window": P,
+            "value": round(ips, 3),
+            "unit": "iter/s",
+            "scaling_efficiency": round(eff, 3),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
