@@ -53,6 +53,12 @@ def make_step_kernel(
     gcfg = cfg.graph
     wf = gcfg.frontend_window
     src = 5
+    # skip edges only ever fire at frontend_window == 5: the reference
+    # gates them on max(ii)-min(ii) == frontend_window-1
+    # (covisible_graph.py:371-373) and the frontend always passes a fixed
+    # 5-row candidate block (dbaf_frontend.py t1-5), so for any other
+    # window they are dead in the reference too.  CovisibleGraph warns
+    # when skip_edge is configured with wf != 5.
     skip = tuple(gcfg.skip_edge) if wf == 5 else ()
     n_skip = len(skip)
     P = cfg.ba.window

@@ -113,15 +113,21 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
             """Multisensor cull decision on the post-rounds_a state
             (frontend semantics: d from the last round's pre-solve metric
             pack, hysteresis on the post-solve poses; the out-of-range
-            candidate slots are masked exactly like the host's k0 slice)."""
-            poses, pack = core[0], core[6]
+            candidate slots are masked exactly like the host's k0 slice).
+            Also captures the post-rounds_a body pose of the new keyframe
+            (12 floats [R(9)|t(3)]) -- the reference writes the trajectory
+            row from the post-iters1 state (dbaf_frontend.py:261-274), so
+            it must be snapshotted here, before rounds_b run."""
+            poses, pack, fg_c = core[0], core[6], core[5]
             d = pack[0]
             hyst = hyst_norms(poses)
             lo = jnp.where(t1 > 10, t1 - 10, t1 - 6)
             k0 = jnp.maximum(lo, 0) - (t1 - 10)
             valid = jnp.arange(7, dtype=jnp.int32) >= k0
             cull = (d < kf_thresh) | jnp.any((hyst < t_thresh) & valid)
-            return cull, d
+            slot = jnp.clip(t1 - 1 - fg_t0, 0, NW - 1)
+            wtb = jnp.concatenate([fg_c.R[slot].reshape(9), fg_c.t[slot]])
+            return cull, d, wtb
 
         E_all = sel_pad.shape[0]
         H, W = e_target.shape[1], e_target.shape[2]
@@ -132,28 +138,29 @@ def make_coupled_fused(update_raw, cfg: DBAFusionConfig, NW: int):
                  jnp.zeros((MAX_ROUNDS, 2), jnp.int32))
 
         def gated_body(i, carry):
-            core, cull, d_c = carry
+            core, cull, d_c, wtb = carry
             run = (i < rounds_a) | ~cull
             core = jax.lax.cond(run, lambda c: one(i, c), lambda c: c, core)
-            cull, d_c = jax.lax.cond(
-                i == rounds_a - 1, decide, lambda c: (cull, d_c), core,
+            cull, d_c, wtb = jax.lax.cond(
+                i == rounds_a - 1, decide, lambda c: (cull, d_c, wtb), core,
             )
-            return core, cull, d_c
+            return core, cull, d_c, wtb
 
-        core, cull, d_cull = jax.lax.fori_loop(
+        core, cull, d_cull, wtb_dec = jax.lax.fori_loop(
             0, rounds_a + rounds_b, gated_body,
-            (core0, jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32)),
+            (core0, jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32),
+             jnp.zeros((12,), jnp.float32)),
         )
         (poses, disps, e_net, e_target, e_weight, fg, host_pack,
          cur_target, cur_weight, lm_stats) = core
         edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
         fg_flat_out = dg.flatten_state(fg)
-        # append [hysteresis(7) | flat window state]: the host pulls the
-        # cull-decision pack every keyframe anyway, so both ride the same
-        # single D2H round trip
+        # append [hysteresis(7) | flat window state | post-rounds_a body
+        # pose (12)]: the host pulls the cull-decision pack every keyframe
+        # anyway, so everything rides the same single D2H round trip
         host_pack = jnp.concatenate([
             jnp.asarray([jnp.where(cull, 1.0, 0.0), d_cull]),
-            host_pack[1:], hyst_norms(poses), fg_flat_out,
+            host_pack[1:], hyst_norms(poses), fg_flat_out, wtb_dec,
         ])
         return (poses, disps, e_net, e_target, e_weight, edge_conf,
                 host_pack, cur_target, cur_weight, fg_flat_out,

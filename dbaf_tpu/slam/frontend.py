@@ -77,6 +77,7 @@ class Frontend:
         # trajectory log: (tstamp, Twb or Twc 7-vec [x y z qx qy qz qw])
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.did_rollup = False
+        self.rollup_count = 0
         # deferred mega step: t1 at dispatch time, or None.  The packed
         # scalars ride the next frame's motion-gate pull (one RTT/keyframe).
         self._pending_t1: Optional[int] = None
@@ -296,13 +297,25 @@ class Frontend:
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True
+            self.rollup_count += 1
 
         # fused coupled keyframe: iters1 rounds + in-kernel cull decision +
         # conditional iters2 rounds in one dispatch with a single pull
         mega = self.graph.update_coupled_mega(self.iters1, self.iters2)
         if mega is not None:
             culled, _d = mega
-            self._write_traj_row(cur_t, self.coupled.state.wTbs[self.t1 - 1])
+            # trajectory row from the POST-iters1 state (reference writes
+            # it before the keyframe-removal/iters2 section,
+            # dbaf_frontend.py:261-274): the fused kernel snapshots the
+            # body pose at decision time and ships it in the host pack
+            dec = self.graph.dec_pose
+            if dec is not None:
+                self._write_traj_row(
+                    cur_t, Pose(dec[:9].reshape(3, 3).astype(np.float64),
+                                dec[9:12].astype(np.float64)))
+            else:
+                self._write_traj_row(
+                    cur_t, self.coupled.state.wTbs[self.t1 - 1])
             if culled:
                 self.graph.rm_keyframe(self.t1 - 2)
                 self.coupled.rm_new_gnss(self.t1 - 2)
@@ -411,6 +424,7 @@ class Frontend:
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True
+            self.rollup_count += 1
 
         traj_row = self.graph.update_mega(
             self.iters1, self.iters2, defer=True

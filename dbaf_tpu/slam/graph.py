@@ -433,6 +433,15 @@ class CovisibleGraph:
         self.i_cap = cfg.graph.inactive_capacity
         h8, w8 = video.h8, video.w8
 
+        if cfg.graph.skip_edge and cfg.graph.frontend_window != 5:
+            import warnings
+            warnings.warn(
+                "skip_edge is configured but frontend_window != 5: skip "
+                "edges never fire (the reference gates them on "
+                "max(ii)-min(ii) == frontend_window-1 with a fixed 5-row "
+                "candidate block, covisible_graph.py:371-373, so they are "
+                "dead for any other window there too)", stacklevel=2,
+            )
         self.ii = np.zeros(0, dtype=np.int64)
         self.jj = np.zeros(0, dtype=np.int64)
         self.age = np.zeros(0, dtype=np.int64)
@@ -458,6 +467,8 @@ class CovisibleGraph:
         self._host_pack_np = None
         self._host_pack_t1 = -1
         self._host_pack_tail = 0    # trailing fg-state floats in the pack
+        self._host_pack_dec = 0     # trailing decision-pose floats (12 on
+        self.dec_pose = None        # the mega path) + the parsed pose
         self.hyst_norms = None      # (7,) cull-hysteresis |rel t| (coupled)
         self._prox_offset = 1
         self._pending_mega = None
@@ -687,7 +698,22 @@ class CovisibleGraph:
         bad_keep = (self.ii_bad >= 0) & (self.jj_bad >= 0)
         self.ii_bad = self.ii_bad[bad_keep]
         self.jj_bad = self.jj_bad[bad_keep]
-        # active edges should all stay in range (caller manages)
+        # Multisensor invariant: the frontend removes stale edges
+        # (ii < t1 - active_window) unconditionally before rolling, so with
+        # the reference config rule rollup_start - rollup_shift >=
+        # active_window nothing goes negative.  When violated, the coupled
+        # state corrupts silently in the reference (negative frame keys
+        # wrap python lists) -- fail loudly instead.  The visual path keeps
+        # reference behavior: its stale rule is age AND window, negative
+        # indices can survive and are clipped inside the kernels (parity-
+        # tested across cull+rollup in tests/test_async_pipeline.py).
+        if (self.coupled is not None and len(self.ii)
+                and (int(self.ii.min()) < 0 or int(self.jj.min()) < 0)):
+            raise ValueError(
+                "rollup left active edges with negative indices -- config "
+                "violates rollup_start - rollup_shift >= active_window "
+                f"(min ii={int(self.ii.min())}, min jj={int(self.jj.min())})"
+            )
 
     # ------------------------------------------------------------------
     def update(
@@ -783,6 +809,7 @@ class CovisibleGraph:
             self._host_pack_np = None
             self._host_pack_t1 = t1
             self._host_pack_tail = 0
+            self._host_pack_dec = 0
             self.hyst_norms = None
             self._prox_offset = 1
         if coupled_mode:
@@ -805,6 +832,12 @@ class CovisibleGraph:
                 or not self.cfg.sensors.device_solver
                 or not self.cfg.sensors.coupled_mega):
             return None
+        from .coupled_fused import MAX_ROUNDS
+        assert rounds_a + rounds_b <= MAX_ROUNDS, (
+            f"iters1+iters2 = {rounds_a}+{rounds_b} exceeds the static "
+            f"lm_stats capacity MAX_ROUNDS={MAX_ROUNDS} "
+            "(slam/coupled_fused.py); raise MAX_ROUNDS for this config"
+        )
         self._flush()
         t0 = max(1, int(self.ii.min()) + 1)
         t1 = int(max(self.ii.max(), self.jj.max())) + 1
@@ -889,6 +922,7 @@ class CovisibleGraph:
         self._host_pack_np = None
         self._host_pack_t1 = t1
         self._host_pack_tail = self.cfg.sensors.fg_cap * 21
+        self._host_pack_dec = 12
         self.hyst_norms = None  # replaced by the pull below
         self._prox_offset = 2
         self.coupled.cur_target = cur_target
@@ -983,14 +1017,21 @@ class CovisibleGraph:
         if self._host_pack_np is None:
             full = np.asarray(self._host_pack_dev)
             if self._host_pack_tail:
-                # coupled path: [pack | hysteresis(7) | flat window state]
-                # ride ONE pull (coupled_fused.py return); hand the state
-                # to the MultiSensorBA so sync_host costs no extra round
-                # trip and keep the cull-hysteresis norms for the frontend
+                # coupled path: [pack | hysteresis(7) | flat window state |
+                # post-rounds_a body pose (12)] ride ONE pull
+                # (coupled_fused.py return); hand the state to the
+                # MultiSensorBA so sync_host costs no extra round trip and
+                # keep the cull-hysteresis norms for the frontend
                 tail = self._host_pack_tail
-                self._host_pack_np = full[: -(tail + 7)]
-                self.hyst_norms = full[-(tail + 7): -tail]
-                self.coupled.stash_state_rows(full[-tail:])
+                dec = self._host_pack_dec
+                self._host_pack_np = full[: -(tail + 7 + dec)]
+                self.hyst_norms = full[-(tail + 7 + dec): -(tail + dec)]
+                if dec:
+                    self.coupled.stash_state_rows(full[-(tail + dec): -dec])
+                    self.dec_pose = full[-dec:]
+                else:
+                    self.coupled.stash_state_rows(full[-tail:])
+                    self.dec_pose = None
             else:
                 self._host_pack_np = full
                 self.hyst_norms = None

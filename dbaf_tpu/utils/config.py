@@ -61,8 +61,9 @@ class FrontendConfig:
     rollup_shift: int = 30           # shift amount (dbaf_frontend.py:255)
     active_window: int = 12          # multi-sensor active window (demo:109)
     async_pipeline: bool = False     # device-resident per-frame step (one
-    # dispatch/frame, host packs drained with a 2-frame lag); requires
-    # visual-only + keyframe_thresh < 0 (slam/async_pipeline.py)
+    # dispatch/frame, host packs drained with a 2-frame lag); visual-only
+    # configs, culling supported (in-kernel shifts; async == sync tested
+    # in tests/test_async_pipeline.py) (slam/async_pipeline.py)
 
 
 @dataclass

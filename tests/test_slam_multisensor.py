@@ -188,7 +188,8 @@ def test_coupled_hessian_matches_native_ba(rng):
 
 
 @pytest.mark.slow
-def test_coupled_cull_hysteresis_parity():
+@pytest.mark.parametrize("rollup", [False, True])
+def test_coupled_cull_hysteresis_parity(rollup):
     """Three implementations of the coupled keyframe step must agree
     exactly -- same cull decisions, same keyframes, same trajectory:
 
@@ -198,6 +199,12 @@ def test_coupled_cull_hysteresis_parity():
       norms riding the host_pack pull;
     * ``pull``: two-call flow, host decision from a fresh pose pull
       (the ``hyst_norms is None`` fallback, dbaf_frontend.py:319-336).
+
+    With ``rollup=True`` the window shifts mid-run (low rollup_start), so
+    the coupled rollup bookkeeping (video/graph/fg-state shifts, moved
+    ahead of the update in frontend._update) is validated across all
+    three paths too, including the trajectory rows written on rollup
+    keyframes.
     """
     n_frames = 26
     imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
@@ -217,8 +224,13 @@ def test_coupled_cull_hysteresis_parity():
     gt_disps = np.stack(gt_disps).astype(np.float32)
 
     def run(variant):
+        # rollup variant honors the reference invariant rollup_start -
+        # rollup_shift >= active_window (the reference config is 65/30/12;
+        # violating it leaves post-roll edges with negative indices)
         cfg = make_cfg(vi_warmup=12, keyframe_thresh=0.05,
-                       rollup_start=1000)
+                       rollup_start=14 if rollup else 1000,
+                       rollup_shift=5,
+                       active_window=8 if rollup else 12)
         cfg.sensors.device_solver = True
         cfg.sensors.coupled_mega = variant == "mega"
         cfg.frontend.translation_threshold = 0.35  # triggers on this scene
@@ -234,21 +246,33 @@ def test_coupled_cull_hysteresis_parity():
             h.feed(k)
             kept.append(h.frontend.t1)
         megas = h.graph.mega_count
+        rolls = getattr(h.frontend, "rollup_count", 0)
         t1 = h.frontend.t1
         est = np.asarray([h.graph.coupled.state.wTbs[k].t
                           for k in range(t1)])
         stamps = np.asarray(h.video.tstamp[:t1])
-        return kept, stamps, est, megas
+        traj = [(t, np.asarray(row)) for t, row in h.frontend.trajectory]
+        return kept, stamps, est, megas, traj, rolls
 
-    kept_m, st_m, est_m, megas = run("mega")
-    kept_f, st_f, est_f, _ = run("pack")
-    kept_h, st_h, est_h, _ = run("pull")
+    kept_m, st_m, est_m, megas, traj_m, rolls = run("mega")
+    kept_f, st_f, est_f, _, traj_f, _ = run("pack")
+    kept_h, st_h, est_h, _, traj_h, _ = run("pull")
     assert megas > 5, megas                      # the mega path actually ran
+    if rollup:
+        assert rolls > 0, "scenario never rolled up"
     assert kept_m == kept_f == kept_h            # identical cull decisions
     np.testing.assert_array_equal(st_m, st_f)    # identical keyframes
     np.testing.assert_array_equal(st_f, st_h)
     np.testing.assert_allclose(est_m, est_f, atol=1e-5)
     np.testing.assert_allclose(est_f, est_h, atol=1e-5)
+    # trajectory rows must match too: the mega kernel snapshots the
+    # post-iters1 body pose at decision time (coupled_fused.py decide),
+    # the two-call flows write it from the synced host state
+    assert len(traj_m) == len(traj_f) == len(traj_h)
+    for (tm, rm), (tf, rf), (th, rh) in zip(traj_m, traj_f, traj_h):
+        assert tm == tf == th
+        np.testing.assert_allclose(rm, rf, atol=1e-5)
+        np.testing.assert_allclose(rf, rh, atol=1e-5)
     # the scenario must actually exercise culling for this to mean anything
     assert kept_f[-1] < n_frames - 2, kept_f
 

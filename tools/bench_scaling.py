@@ -98,20 +98,29 @@ def main():
             continue
         mesh = Mesh(np.asarray(devs[:n]), ("edge",))
         step = make_sharded_ba_iteration(mesh, P)
-        p, d = poses, disps
-        # warmup/compile
-        p, d = step(p, d, intr, targets, weights, eta,
-                    jnp.asarray(ii), jnp.asarray(jj), mask,
-                    jnp.asarray(1), jnp.asarray(P))
-        jax.block_until_ready(d)
+        # all operands on device BEFORE the timed loop (axon benchmarking
+        # rules: never allocate host arrays in a timed region, and measure
+        # the 1-vs-N chained-iteration slope ending in a scalar pull --
+        # block_until_ready can lie on the remote transport)
+        ii_d, jj_d = jnp.asarray(ii), jnp.asarray(jj)
+        one_d, P_d = jnp.asarray(1), jnp.asarray(P)
+
+        def chain(k):
+            p, d = poses, disps
+            for _ in range(k):
+                # chain outputs into inputs (transport memoization guard)
+                p, d = step(p, d, intr, targets, weights, eta,
+                            ii_d, jj_d, mask, one_d, P_d)
+            return float(jnp.sum(d[0, 0, :1]))  # scalar pull ends the chain
+
+        chain(1)  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            # chain outputs into inputs (transport memoization guard)
-            p, d = step(p, d, intr, targets, weights, eta,
-                        jnp.asarray(ii), jnp.asarray(jj), mask,
-                        jnp.asarray(1), jnp.asarray(P))
-        jax.block_until_ready(d)
-        dt = (time.perf_counter() - t0) / args.iters
+        chain(1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(1 + args.iters)
+        t_many = time.perf_counter() - t0
+        dt = max(t_many - t_one, 1e-9) / args.iters
         ips = 1.0 / dt
         if base is None:
             base = ips
