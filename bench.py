@@ -1,26 +1,239 @@
 """System benchmark: keyframe throughput of the full VIO hot path.
 
-Drives the real streaming system (feature extraction -> motion filter ->
-covisibility graph -> fused update kernel: correlation + ConvGRU + dense BA)
-at the reference's TUM-VI operating point (384x512 images, 48x64 feature
-grid, max_factors=48, iters1=4/iters2=2 -- batch_tumvi.py:28-41) on synthetic
-frames, and reports steady-state keyframes/second.
+Three phases, each on the real TPU at the reference's TUM-VI operating
+point (384x512 images, 48x64 feature grid, max_factors=48 --
+batch_tumvi.py:28-41):
 
-Baseline: the reference claims realtime operation on a desktop GPU
-(README.md:15) with ~60 ms edge management + multiple update/BA rounds per
-keyframe (dbaf_frontend.py:222,232); its keyframe rate is ~10 kf/s at this
-operating point.  vs_baseline = measured / 10.0.
+1. ``coupled``  -- tightly-coupled multi-sensor keyframes (IMU factor
+   graph + dense BA, device solver, fused mega kernel): the reference's
+   flagship mode (README.md:13-15).  Update rounds run the REAL network
+   at full cost; the produced targets are replaced by a synthetic-scene
+   oracle (mixed in at 1e-30 so XLA cannot dead-code the network) so the
+   VI initialization and the coupled solve stay on realistic, numerically
+   healthy trajectories without datasets/weights.
+2. ``culled``   -- visual pipeline with keyframe culling enabled (the
+   in-kernel cull threshold set at the probe stream's median flow
+   distance, so roughly half the keyframes cull) plus the pure
+   admission-gate frame cost (gate threshold +inf: every frame runs
+   fnet + gate and is rejected).  The untrained network's gate statistic
+   is nearly constant (10.1 +- 0.1 px on this stream), so a "realistic"
+   admit/reject mix cannot be synthesized without the TartanAir
+   checkpoint; the two measurements bracket it instead.
+3. ``visual``   -- every frame admitted, no culling: pure keyframe
+   throughput, directly comparable to BENCH_r01.json.  This is the
+   primary metric (printed LAST).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines: the reference publishes no fps (BASELINE.md).  Estimates used:
+visual ~10 kf/s (multiple GPU update/BA rounds + ~60 ms CPU edge
+management per keyframe, dbaf_frontend.py:222,232); coupled ~6 kf/s (the
+visual work plus, per keyframe, 2x [GPU Hessian -> CPU GTSAM LM -> GPU
+retraction] round trips and a CPU marginalization, depth_video.py:465-558).
+Both are tracking ratios, not measured reference numbers.
+
+Prints one JSON line per phase; the LAST line is the primary metric
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
 REFERENCE_KEYFRAMES_PER_SEC = 10.0
+REFERENCE_COUPLED_KF_PER_SEC = 6.0
+
+HT, WD = 384, 512
+H8, W8 = HT // 8, WD // 8
+
+
+def _make_params(model, jax, jnp):
+    probe = jnp.zeros((1, HT, WD, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), probe, method=model.extract_features
+    )["params"]
+    uparams = model.init(
+        jax.random.PRNGKey(1), None,
+        jnp.zeros((1, H8, W8, 128), jnp.bfloat16),
+        jnp.zeros((1, H8, W8, 128), jnp.bfloat16),
+        jnp.zeros((1, H8, W8, 196), jnp.bfloat16),
+        jnp.zeros((1, H8, W8, 4), jnp.bfloat16),
+    )["params"]
+    return {**params, **uparams}
+
+
+def bench_visual(mode: str):
+    """Visual pipeline throughput via the async one-dispatch-per-frame
+    path.  mode: "visual" = admit every frame, no culls (r01 operating
+    point); "cull" = admit every frame, cull-enabled; "gateonly" =
+    admission gate rejects every frame (pure per-frame gate cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dbaf_tpu.models import DroidNet
+    from dbaf_tpu.slam.system import DBAFusion
+    from dbaf_tpu.utils.config import tumvi_config
+
+    cfg = tumvi_config()
+    cfg.frontend.rollup_start = 40
+    cfg.frontend.rollup_shift = 15
+    cfg.frontend.async_pipeline = True
+    cfg.ba.window = 48
+
+    model = DroidNet()
+    params = _make_params(model, jax, jnp)
+    rng = np.random.default_rng(0)
+    intr = np.asarray([460.0, 460.0, WD / 2, HT / 2], dtype=np.float32)
+    base = rng.integers(0, 255, size=(HT + 64, WD + 64, 3)).astype(np.float32)
+
+    def frame(k):
+        ox, oy = (3 * k) % 64, (2 * k) % 64
+        return base[oy : oy + HT, ox : ox + WD]
+
+    if mode == "cull":
+        cfg.frontend.filter_thresh = -1.0
+        cfg.frontend.keyframe_thresh = 300.0  # ~median in-kernel flow
+        # distance of this stream with the untrained net (span 4..1000):
+        # roughly half the keyframes cull
+    elif mode == "gateonly":
+        cfg.frontend.filter_thresh = 1e9  # reject everything post-init
+        cfg.frontend.keyframe_thresh = -1.0
+    else:
+        cfg.frontend.filter_thresh = -1.0
+        cfg.frontend.keyframe_thresh = -1.0
+
+    system = DBAFusion(cfg, params=params)
+
+    # warm until the device-resident pipeline is active (initialization
+    # and the step-kernel compile must stay out of the timed window),
+    # then a few async frames to settle.  gateonly admits every frame
+    # until initialization completes (the gate threshold only bites once
+    # the async kernel is live), so activation always happens.
+    n_meas = 20
+    k = 0
+    while k < 60 and not (system._async is not None and
+                          system._async.active and k >= 12):
+        system.track(float(k), frame(k), intrinsics=intr)
+        k += 1
+    for _ in range(4):
+        system.track(float(k), frame(k), intrinsics=intr)
+        k += 1
+    n_warm = k
+    if system._async is not None and system._async.active:
+        jax.block_until_ready(system._async.state["poses"])
+    t1_before = (
+        int(system._async.t1_mirror)
+        if system._async is not None and system._async.active
+        else system.frontend.t1
+    )
+
+    t0 = time.time()
+    for k in range(n_warm, n_warm + n_meas):
+        system.track(float(k), frame(k), intrinsics=intr)
+    if system._async is not None and system._async.active:
+        jax.block_until_ready(system._async.state["poses"])
+        # drain remaining packs so admissions are counted
+        while system._async.queue:
+            system._async._drain_one()
+        t1_after = int(system._async.t1_mirror)
+    else:
+        jax.block_until_ready(system.video.poses)
+        t1_after = system.frontend.t1
+    dt = time.time() - t0
+
+    kept = max(t1_after - t1_before, 0)
+    return dict(kf_per_sec=n_meas / dt, frames_per_sec=n_meas / dt,
+                kept=kept, frames=n_meas)
+
+
+def bench_coupled():
+    """Tightly-coupled multi-sensor keyframe throughput (device factor
+    graph solver, fused mega kernel), full-cost network rounds guided by
+    the synthetic-scene oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from dbaf_tpu.eval.synthetic import (
+        make_oracle, scene_from_poses, simulate_imu_and_poses,
+    )
+    from dbaf_tpu.fusion.se3np import Pose
+    from dbaf_tpu.models import DroidNet
+    from dbaf_tpu.slam.coupled import MultiSensorBA
+    from dbaf_tpu.slam.frontend import Frontend
+    from dbaf_tpu.slam.graph import CovisibleGraph
+    from dbaf_tpu.slam.video import DepthVideo
+    from dbaf_tpu.utils.config import tumvi_config
+
+    fps = 10.0
+    n_warm, n_meas = 18, 15
+    n = n_warm + n_meas
+    intr = np.asarray([2.0 * W8, 2.0 * W8, W8 / 2, H8 / 2], np.float32)
+    imu_rows, poses_at = simulate_imu_and_poses(n / fps + 0.5, fps=fps)
+    gt_cw, gt_disps = scene_from_poses(poses_at, n, intr, H8, W8)
+
+    cfg = tumvi_config()
+    cfg.buffer = n + 8
+    cfg.ba.window = n + 4
+    cfg.frontend.vi_warmup = 12
+    cfg.frontend.keyframe_thresh = -1.0          # throughput: no culls
+    cfg.frontend.translation_threshold = -1.0
+    cfg.frontend.rollup_start = 1000
+    cfg.graph.edge_capacity = 48
+    cfg.sensors.device_solver = True
+    cfg.sensors.coupled_mega = True
+
+    model = DroidNet()
+    params = _make_params(model, jax, jnp)
+    oracle = make_oracle(jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr)
+
+    def update_fn(net, inp, corr, motn, ii, jj, aux):
+        # full-cost real network; outputs folded in at 1e-30 (numerically
+        # null at f32, but XLA cannot eliminate the computation)
+        net2, delta, weight, _, _ = model.apply(
+            {"params": params}, None, net, inp, corr, motn
+        )
+        _, d_o, w_o = oracle(net, inp, corr, motn, ii, jj, aux)
+        return net2, d_o + delta * 1e-30, w_o + weight * 1e-30
+
+    video = DepthVideo(cfg)
+    graph = CovisibleGraph(video, update_fn, cfg)
+    coupled = MultiSensorBA(video, cfg)
+    coupled.Tbc = Pose()
+    coupled.state.set_imu_params([0.05, 0.005, 1e-4, 1e-6])
+    graph.coupled = coupled
+    frontend = Frontend(video, graph, cfg)
+    frontend.set_multisensor(imu_rows, visual_only=False)
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(
+        rng.standard_normal((3, H8, W8, 128)), jnp.bfloat16
+    )
+    id_map = np.zeros(cfg.buffer, dtype=np.int32)
+    intr8 = jnp.asarray(intr, dtype=jnp.float32)
+
+    def feed(k):
+        idx = video.counter
+        video.append(k / fps, None, None, None, None, intr8,
+                     feats[0], feats[1], feats[2])
+        id_map[idx] = k
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+        frontend()
+        id_map[: video.counter] = np.round(
+            video.tstamp[: video.counter] * fps
+        ).astype(np.int32)
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+
+    for k in range(n_warm):
+        feed(k)
+    assert video.imu_enabled, "VI init did not trigger in the warmup"
+    megas0 = graph.mega_count
+
+    t0 = time.time()
+    for k in range(n_warm, n):
+        feed(k)
+    dt = time.time() - t0
+    megas = graph.mega_count - megas0
+    return dict(kf_per_sec=n_meas / dt, keyframes=n_meas,
+                mega_steps=megas)
 
 
 def main():
@@ -28,77 +241,40 @@ def main():
 
     jax_setup()  # persistent compile cache: warm second runs
 
-    import jax
-    import jax.numpy as jnp
+    rc = bench_coupled()
+    print(json.dumps({
+        "metric": "coupled_keyframes_per_sec",
+        "value": round(rc["kf_per_sec"], 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(rc["kf_per_sec"] / REFERENCE_COUPLED_KF_PER_SEC, 3),
+        "mega_steps": rc["mega_steps"],
+    }), flush=True)
 
-    from dbaf_tpu.models import DroidNet
-    from dbaf_tpu.slam.system import DBAFusion, _model_fns
-    from dbaf_tpu.utils.config import tumvi_config
+    rg = bench_visual(mode="cull")
+    print(json.dumps({
+        "metric": "culled_keyframes_per_sec",
+        "value": round(rg["kf_per_sec"], 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(rg["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
+        "kept_keyframes": rg["kept"],
+        "frames": rg["frames"],
+    }), flush=True)
 
-    cfg = tumvi_config()
-    cfg.frontend.filter_thresh = -1.0  # admit every frame (pure throughput)
-    cfg.frontend.rollup_start = 40
-    cfg.frontend.rollup_shift = 15
-    cfg.frontend.keyframe_thresh = -1.0  # never cull
-    cfg.frontend.async_pipeline = True  # device-resident steps: the host
-    # streams frames back-to-back and drains packs with a 2-frame lag
-    cfg.ba.window = 48  # covers rollup_start + margin
+    ro = bench_visual(mode="gateonly")
+    print(json.dumps({
+        "metric": "gate_rejected_frames_per_sec",
+        "value": round(ro["frames_per_sec"], 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }), flush=True)
 
-    model = DroidNet()
-    rng = np.random.default_rng(0)
-    ht, wd = cfg.image_size
-    probe = jnp.zeros((1, ht, wd, 3), jnp.float32)
-    params = model.init(
-        jax.random.PRNGKey(0), probe, method=model.extract_features
-    )["params"]
-    uparams = model.init(
-        jax.random.PRNGKey(1), None,
-        jnp.zeros((1, ht // 8, wd // 8, 128), jnp.bfloat16),
-        jnp.zeros((1, ht // 8, wd // 8, 128), jnp.bfloat16),
-        jnp.zeros((1, ht // 8, wd // 8, 196), jnp.bfloat16),
-        jnp.zeros((1, ht // 8, wd // 8, 4), jnp.bfloat16),
-    )["params"]
-    params = {**params, **uparams}
-
-    system = DBAFusion(cfg, params=params)
-    intr = np.asarray([460.0, 460.0, wd / 2, ht / 2], dtype=np.float32)
-
-    # synthetic frames: moving textured pattern (content only matters for
-    # producing non-degenerate activations)
-    base = rng.integers(0, 255, size=(ht + 64, wd + 64, 3)).astype(np.float32)
-
-    def frame(k):
-        ox, oy = (3 * k) % 64, (2 * k) % 64
-        return base[oy : oy + ht, ox : ox + wd]
-
-    n_warm, n_meas = 14, 20
-    for k in range(n_warm):
-        system.track(float(k), frame(k), intrinsics=intr)
-    if system._async is not None and system._async.active:
-        jax.block_until_ready(system._async.state["poses"])
-
-    t0 = time.time()
-    for k in range(n_warm, n_warm + n_meas):
-        system.track(float(k), frame(k), intrinsics=intr)
-    if system._async is not None and system._async.active:
-        # wait for every dispatched step kernel (poses live in the carried
-        # async state, not the stale video reference)
-        jax.block_until_ready(system._async.state["poses"])
-    else:
-        jax.block_until_ready(system.video.poses)
-    dt = time.time() - t0
-
-    kfs = n_meas / dt
-    print(
-        json.dumps(
-            {
-                "metric": "keyframes_per_sec",
-                "value": round(kfs, 3),
-                "unit": "keyframes/s",
-                "vs_baseline": round(kfs / REFERENCE_KEYFRAMES_PER_SEC, 3),
-            }
-        )
-    )
+    rv = bench_visual(mode="visual")
+    print(json.dumps({
+        "metric": "keyframes_per_sec",
+        "value": round(rv["kf_per_sec"], 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(rv["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1269,6 +1269,257 @@ def corr_fused_xy_from_vol(
 
 
 # --------------------------------------------------------------------------
+# int8 prebuilt volume: build + quantize ONCE per keyframe step, then every
+# update round runs the lookup with the dominant P2 dot on the int8 MXU
+# path (measured 77 -> 106 TFLOP/s at the g16 shape, ablate_corr mm_p2_i8).
+# The earlier in-kernel int8 variant (corr_fused_xy_prepared int8=True) is
+# NET-NEGATIVE (19.9 vs 16.6 ms) because it pays an f32 volume build plus a
+# per-round quantize; pre-quantizing moves both out of the round loop.
+# Precision: reduced-precision correlation is reference-faithful -- the
+# CUDA lookup runs fp16 (correlation_kernels.cu:145 AT_DISPATCH..HALF);
+# int8 symmetric per-tile quantization keeps the error ~1% of the tile's
+# max correlation (vol 0.4% + one x tent weight 0.4%; y stage stays bf16).
+
+
+def _build_vol_i8_kernel(f1_ref, f2h_ref, out_ref, dq_ref, *, H2, group):
+    """Blocked volume tile, f32 accumulate -> per-tile symmetric int8.
+
+    dq is the x-stage dequant factor max|vol| / 127^2 (the int8 P2 result
+    times dq*inv_level recovers the bf16 kernel's tent-scaled value)."""
+    f1 = f1_ref[0]            # (tile, C)
+    G = f1.shape[0] // group
+    W2 = f2h_ref.shape[3]
+    pieces = []
+    for h in range(H2):
+        vol_h = jax.lax.dot_general(
+            f1, f2h_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pieces.append(vol_h.reshape(G, group, W2))
+    vol = jnp.concatenate(pieces, axis=1)  # (G, group*H2, W2) f32
+    vmax = jnp.maximum(jnp.max(jnp.abs(vol)), 1e-20)
+    out_ref[0] = jnp.round(vol * (127.0 / vmax)).astype(jnp.int8)
+    # scalar broadcast into one (8, 128) tile (TPU block-shape minimum)
+    dq_ref[0, 0] = jnp.full((8, 128), vmax * (1.0 / (127.0 * 127.0)),
+                            jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "group", "interpret")
+)
+def build_xy_volume_i8(
+    f1p: jnp.ndarray,
+    f2h: jnp.ndarray,
+    tile: int = 256,
+    group: int = 16,
+    interpret: bool = False,
+):
+    """Materialize the blocked correlation volume as per-tile-quantized
+    int8: (vol (E, n_tiles*G, group*H2, W2) int8, dq (E, n_tiles, 8, 128)
+    f32 -- the scalar dequant factor broadcast into one minimum-size TPU
+    tile per (edge, pixel tile)).  Layout matches :func:`build_xy_volume`
+    (rows h-interleaved)."""
+    E, P_in, C = f1p.shape
+    _, H2, _, W2 = f2h.shape
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    return pl.pallas_call(
+        functools.partial(_build_vol_i8_kernel, H2=H2, group=group),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2, C, W2), lambda e, t: (e, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, group * H2, W2), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, n_tiles * G, group * H2, W2), jnp.int8),
+            jax.ShapeDtypeStruct((E, n_tiles, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f1p, f2h)
+
+
+def _xy_lookup_i8_kernel(
+    vol_ref, dq_ref, ym2_ref, xm2_ref, g0yc_ref, s0yc_ref, g0xt_ref,
+    l0xt_ref, inv_ref, out_ref, *scratch, H2, W2, group, y_tab,
+):
+    """x-first lookup on a prebuilt int8 volume tile.
+
+    The x tent is built at UNIT scale (values in [0,1], live-masked) and
+    quantized with the fixed scale 127; the level scaling 1/2^l moves into
+    the dequant vector so high pyramid levels keep full tent precision."""
+    dt = jnp.bfloat16
+    vol_i8 = vol_ref[0]       # (G, group*H2, W2) int8
+    G = vol_i8.shape[0]
+    M = group * 32
+
+    kxt_u = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0xt_ref[...] - xm2_ref[0][:, None, :]))
+        * l0xt_ref[...]
+    )  # (G, W2, M) unit-scale tents
+    kxt_q = jnp.round(kxt_u * 127.0).astype(jnp.int8)
+    p2_i = jax.lax.dot_general(
+        vol_i8, kxt_q, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (G, group*H2, M)
+    p2 = (
+        p2_i.astype(jnp.float32)
+        * (dq_ref[0, 0, 0, 0] * inv_ref[0][None, None, :])
+    ).astype(dt)
+    p2s = p2.reshape(G, H2, group, M)
+
+    if y_tab > 1:
+        # table-blockdiag y stage (see _fused_xy_kernel y_tab branch)
+        S = y_tab
+        assert group % S == 0, (group, S)
+        stack_ref = scratch[0]
+        for s in range(group // S):
+            ms = slice(32 * S * s, 32 * S * (s + 1))
+            ym_s = ym2_ref[0, :, ms]
+            ky4 = (
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(g0yc_ref[...] - ym_s[:, :, None])
+                ) * s0yc_ref[...]
+            ).astype(dt)
+            for q in range(S):
+                r = S * s + q
+                stack_ref[:, q * H2:(q + 1) * H2, :] = p2s[
+                    :, :, r, 32 * r: 32 * (r + 1)
+                ]
+            o = jax.lax.dot_general(
+                ky4, stack_ref[...], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, :, ms, :] = o.astype(out_ref.dtype)
+        return
+
+    ky = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(g0yc_ref[...] - ym2_ref[0][:, :, None]))
+        * s0yc_ref[...]
+    ).astype(dt)
+    kys = ky.reshape(G, group, 32, H2)
+    outs = []
+    for r in range(group):
+        p2_r = p2s[:, :, r, 32 * r: 32 * (r + 1)]
+        ky_r = kys[:, r]
+        o = jax.lax.dot_general(
+            ky_r, p2_r, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(out_ref.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "num_levels", "tile", "group", "interpret", "y_tab",
+    ),
+)
+def corr_fused_xy_from_vol_i8(
+    vol_i8: jnp.ndarray,
+    dq: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int = DEFAULT_RADIUS,
+    num_levels: int = DEFAULT_LEVELS,
+    tile: int = 256,
+    group: int = 16,
+    interpret: bool = False,
+    y_tab: int = 0,
+) -> jnp.ndarray:
+    """x-first lookup from a :func:`build_xy_volume_i8` cache.
+
+    Same contract as :func:`corr_fused_xy_prepared`; quantization error is
+    ~1% of the per-tile max correlation (tested in tests/test_corr.py)."""
+    E, TG, gH2, W2 = vol_i8.shape
+    H2 = gH2 // group
+    _, H, W, _ = coords.shape
+    P_in = H * W
+    R = 2 * radius + 1
+    LR = num_levels * R
+    assert P_in % tile == 0 and tile % group == 0, (P_in, tile, group)
+    assert TG == P_in // group, (TG, P_in, group)
+    n_tiles = P_in // tile
+    G = tile // group
+    M = group * 32
+
+    g0yc, s0yc, g0xt, s0xt, inv_m = _xy_tables(H2, W2, radius, num_levels, M)
+    l0xt = (s0xt > 0).astype(s0xt.dtype)
+    if y_tab > 1:
+        g0yc, s0yc = _blockdiag_y_tables(g0yc, s0yc, y_tab)
+    ysh = g0yc.shape
+
+    flat = coords.reshape(E, P_in, 2)
+    cm = flat.reshape(E, P_in // group, group, 2)
+    inv_j = jnp.asarray(inv_m)
+    xm2 = jnp.repeat(cm[..., 0], 32, axis=-1) * inv_j
+    ym2 = jnp.repeat(cm[..., 1], 32, axis=-1) * inv_j
+
+    const = lambda e, t: (0, 0)
+    full = pl.pallas_call(
+        functools.partial(
+            _xy_lookup_i8_kernel, H2=H2, W2=W2, group=group, y_tab=y_tab,
+        ),
+        grid=(E, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((1, G, group * H2, W2), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda e, t: (e, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, M), lambda e, t: (e, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ysh, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ysh, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2, M), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, M, 32), lambda e, t: (e, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, P_in // group, M, 32), jnp.bfloat16
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((G, y_tab * H2, 32), jnp.bfloat16)]
+            if y_tab > 1 else []
+        ),
+        interpret=interpret,
+    )(
+        vol_i8, dq, ym2, xm2,
+        jnp.asarray(g0yc), jnp.asarray(s0yc),
+        jnp.asarray(g0xt), jnp.asarray(l0xt),
+        jnp.asarray(inv_m)[None, :],
+    )
+
+    full = full.reshape(E, P_in, 32, 32)
+    outs = [
+        jnp.swapaxes(
+            full[:, :, l * R : (l + 1) * R, l * R : (l + 1) * R], -1, -2
+        ).reshape(E, P_in, R * R)
+        for l in range(num_levels)
+    ]
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, LR * R)
+
+
+# --------------------------------------------------------------------------
 # v6 paired x-first: every MXU dot gets K >= 128 and N >= 128.
 #
 # Measured on v5e (tools/ablate_corr.py): dots with N=64 or K=64 run at

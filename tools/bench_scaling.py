@@ -35,7 +35,16 @@ def main():
     ap.add_argument("--window", type=int, default=24)
     ap.add_argument("--iters", type=int, default=8,
                     help="timed GN iterations per measurement")
+    ap.add_argument("--multihost", type=int, default=0,
+                    help="spawn N jax.distributed processes (one per "
+                    "emulated host) and report per-host-count scaling; on "
+                    "real multi-host hardware run dist_worker directly, "
+                    "one process per host")
+    ap.add_argument("--devices-per-host", type=int, default=2)
     args = ap.parse_args()
+
+    if args.multihost:
+        return main_multihost(args)
 
     if args.cpu:
         import jax
@@ -136,6 +145,70 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
+    return results
+
+
+def main_multihost(args):
+    """Launch 1..N-process jax.distributed runs of the edge-sharded BA
+    (parallel/dist_worker.py) and report scaling efficiency per host
+    count (BASELINE.md: >=0.7 at 2 hosts).  Under CPU emulation the
+    "hosts" share physical cores, so the numbers validate the path, not
+    the speedup; on a real pod run dist_worker per host instead."""
+    import re
+    import socket
+    import subprocess
+    import tempfile
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = None
+    results = []
+    n = 1
+    while n <= args.multihost:
+        port = free_port()
+        with tempfile.TemporaryDirectory() as td:
+            procs = []
+            for pid in range(n):
+                cmd = [
+                    sys.executable, "-m", "dbaf_tpu.parallel.dist_worker",
+                    "--process-id", str(pid), "--num-processes", str(n),
+                    "--coordinator", f"localhost:{port}",
+                    "--cpu-devices", str(args.devices_per_host),
+                    "--edges", str(args.edges),
+                    "--window", str(args.window),
+                    "--time", str(args.iters),
+                    "--out", os.path.join(td, f"p{pid}.npz"),
+                ]
+                procs.append(subprocess.Popen(cmd, cwd=repo, env=env,
+                                              stdout=subprocess.DEVNULL,
+                                              stderr=subprocess.DEVNULL))
+            rcs = [p.wait(timeout=600) for p in procs]
+            assert all(r == 0 for r in rcs), rcs
+            import numpy as np
+            dat = np.load(os.path.join(td, "p0.npz"))
+            ips = 1e3 / float(dat["iter_ms"])
+        if base is None:
+            base = ips
+        row = {
+            "metric": "multihost_sharded_ba_iterations_per_sec",
+            "hosts": n, "devices_per_host": args.devices_per_host,
+            "edges": args.edges, "window": args.window,
+            "value": round(ips, 3), "unit": "iter/s",
+            "scaling_efficiency": round(ips / (base * n), 3),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        n *= 2
     return results
 
 

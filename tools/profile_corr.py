@@ -149,6 +149,31 @@ def main():
 
             slope(name, jax.jit(_step), coords0)
 
+    if "i8build" in want or "i8look" in want:
+        from dbaf_tpu.ops.corr_pallas import (
+            build_xy_volume_i8, corr_fused_xy_from_vol_i8, prepare_corr_fmaps,
+        )
+
+        f1p, f2h = prepare_corr_fmaps(f1, f2)
+        if "i8build" in want:
+            @jax.jit
+            def i8b_step(f):
+                v, dq = build_xy_volume_i8(f, f2h, tile=256, group=16)
+                return f + 1e-3 * (jnp.mean(dq[:, :, 0, 0]) % 1.0).astype(f.dtype)
+
+            slope("i8build", i8b_step, f1p)
+        if "i8look" in want:
+            vol_i8, dq8 = build_xy_volume_i8(f1p, f2h, tile=256, group=16)
+
+            @jax.jit
+            def i8l_step(v, dq, c):
+                out = corr_fused_xy_from_vol_i8(v, dq, c, tile=256, group=16,
+                                                y_tab=4)
+                return c + 1e-3 * (jnp.mean(out) % 1.0)
+
+            slope("i8lookup", functools.partial(i8l_step, vol_i8, dq8),
+                  coords0)
+
     if "v8" in want or "v8build" in want:
         from dbaf_tpu.ops.corr_pallas import (
             build_xy_volume, corr_fused_xy_from_vol, prepare_corr_fmaps,
@@ -178,6 +203,11 @@ def main():
 
     for name, kw in (
         ("v5g8", dict(group=8)),
+        ("v5g8t256", dict(group=8, tile=256)),
+        ("v5g8t256yt4", dict(group=8, tile=256, y_tab=4)),
+        ("v5g4t256yt4", dict(group=4, tile=256, y_tab=4)),
+        ("v5g4t512yt4", dict(group=4, tile=512, y_tab=4)),
+        ("v5g2t256yt2", dict(group=2, tile=256, y_tab=2)),
         ("v5g4", dict(group=4)),
         ("v5g4t256", dict(group=4, tile=256)),
         ("v5g16", dict(group=16, tile=256)),
@@ -185,6 +215,9 @@ def main():
         ("v5g8i8", dict(group=8, int8=True)),
         ("v5g16y4", dict(group=16, tile=256, y_sub=4)),
         ("v5g16yt4", dict(group=16, tile=256, y_tab=4)),
+        ("v5g16t512yt4", dict(group=16, tile=512, y_tab=4)),
+        ("v5g16yt2", dict(group=16, tile=256, y_tab=2)),
+        ("v5g32t512yt4", dict(group=32, tile=512, y_tab=4)),
         ("v5g16yt8", dict(group=16, tile=256, y_tab=8)),
         ("v5g8yt4", dict(group=8, y_tab=4)),
         ("v5g16y8", dict(group=16, tile=256, y_sub=8)),
