@@ -35,7 +35,17 @@ def run(
     finally:
         traj = system.terminate()
         if result_path:
-            write_tum(result_path, traj)
+            ecef = system.trajectory_ecef
+            if ecef:
+                # reference row format once georeferenced: the 8 TUM fields
+                # + 3 ECEF fields (dbaf_frontend.py:270-272)
+                rows = [
+                    list(r) + list(ecef[k]) if k in ecef else list(r)
+                    for k, r in enumerate(traj)
+                ]
+                write_tum(result_path, rows)
+            else:
+                write_tum(result_path, traj)
         if pkl_path and system.cfg.save_pkl:
             from ..eval.export import save_reconstruction
 

@@ -49,12 +49,16 @@ def main(argv=None):
     ap.add_argument("--calib", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--imagestamp", default=None,
+                    help="timestamp<->filename map (KITTI-360 layout: "
+                         "whitespace-delimited, kitti360_to_hdf5.py:35-36)")
     args = ap.parse_args(argv)
 
     if args.dataset == "tumvi":
         stream = streams.tumvi_stream(args.datadir, args.calib, args.stride)
     elif args.dataset == "kitti360":
-        stream = streams.kitti360_stream(args.datadir, args.calib, args.stride)
+        stream = streams.kitti360_stream(args.datadir, args.calib, args.stride,
+                                         stamp_path=args.imagestamp)
     else:
         stream = streams.image_stream(args.datadir, args.calib, args.stride)
     convert_stream(stream, args.out)

@@ -39,6 +39,7 @@ def image_stream(
     stride: int = 1,
     stamp_path: Optional[str] = None,
     stamp_scale: float = 1e-9,
+    stamp_delim: Optional[str] = ",",
     fisheye: Optional[bool] = None,
     target_area: int = 384 * 512,
     clahe: bool = False,
@@ -70,7 +71,9 @@ def image_stream(
 
     stamps = None
     if stamp_path is not None:
-        raw = np.loadtxt(stamp_path, str, delimiter=",")
+        # ``timestamp<delim>filename`` rows; stamp_delim=None is whitespace
+        # (the KITTI-360 layout, kitti360_to_hdf5.py:35-36)
+        raw = np.loadtxt(stamp_path, str, delimiter=stamp_delim)
         stamps = {row[1]: float(row[0]) * stamp_scale for row in raw}
 
     enhancer = cv2.createCLAHE(2.0, tileGridSize=(8, 8)) if clahe else None
@@ -112,10 +115,16 @@ def tumvi_stream(datadir: str, calib_path: str, stride: int = 4):
     )
 
 
-def kitti360_stream(datadir: str, calib_path: str, stride: int = 2):
-    """KITTI-360: plain undistortion (demo_vio_kitti360.py:25-60)."""
+def kitti360_stream(datadir: str, calib_path: str, stride: int = 2,
+                    stamp_path: Optional[str] = None,
+                    stamp_scale: float = 1.0):
+    """KITTI-360: plain undistortion (demo_vio_kitti360.py:25-60).
+
+    stamp_path: whitespace-delimited ``timestamp filename`` rows mapping the
+    frame-index filenames to camera times (kitti360_to_hdf5.py:35-36)."""
     return image_stream(
         datadir, calib_path, stride=stride,
+        stamp_path=stamp_path, stamp_scale=stamp_scale, stamp_delim=None,
         fisheye=False, target_area=320 * 896, undistort_size=(1408, 376),
     )
 

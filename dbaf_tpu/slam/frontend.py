@@ -76,6 +76,10 @@ class Frontend:
 
         # trajectory log: (tstamp, Twb or Twc 7-vec [x y z qx qy qz qw])
         self.trajectory: List[Tuple[float, np.ndarray]] = []
+        # ECEF positions for rows written after GNSS init, keyed by the
+        # trajectory index (dbaf_frontend.py:180-183, 270-272 append
+        # ``x y z`` ECEF columns to every row once georeferenced)
+        self.trajectory_ecef: dict = {}
         self.did_rollup = False
         self.rollup_count = 0
         # deferred mega step: t1 at dispatch time, or None.  The packed
@@ -219,6 +223,18 @@ class Frontend:
         from scipy.spatial.transform import Rotation
 
         q = Rotation.from_matrix(T.R).as_quat()
+        coupled = self.coupled
+        if coupled is not None and coupled.gnss_init_t1 > 0 \
+                and coupled.ten0 is not None:
+            # ECEF columns once georeferenced (dbaf_frontend.py:270-272):
+            # p = ten0 + Cen(ten0) @ p_local.  Kept f64 (ECEF magnitudes
+            # ~6.4e6 m; f32 would quantize to ~0.5 m).
+            from ..utils import geodesy
+
+            self.trajectory_ecef[len(self.trajectory)] = (
+                coupled.ten0 + geodesy.Cen(coupled.ten0)
+                @ np.asarray(T.t, np.float64)
+            )
         self.trajectory.append(
             (t, np.concatenate([T.t, q]).astype(np.float32))
         )

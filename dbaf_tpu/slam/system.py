@@ -156,6 +156,12 @@ class DBAFusion:
     def trajectory(self):
         return self.frontend.trajectory
 
+    @property
+    def trajectory_ecef(self):
+        """ECEF positions keyed by trajectory row index (rows written after
+        GNSS init; dbaf_frontend.py:270-272)."""
+        return self.frontend.trajectory_ecef
+
     # ------------------------------------------------------------------
     _VIDEO_ARRAYS = (
         "poses", "disps", "disps_sens", "damping", "fmaps", "nets", "inps",

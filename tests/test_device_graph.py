@@ -170,6 +170,7 @@ def rng():
     return np.random.default_rng(7)
 
 
+@pytest.mark.slow
 def test_linearize_matches_host(rng):
     n, NW = 5, 8
     msba = build_window(rng)

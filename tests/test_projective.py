@@ -6,6 +6,7 @@ against automatic differentiation of the forward reprojection.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ def test_identity_transform_is_grid(rng):
     assert np.all(np.asarray(valid) == 1.0)
 
 
+@pytest.mark.slow
 def test_jacobians_match_autodiff(rng):
     poses, disps, intr = make_scene(rng)
     ii = jnp.asarray([0, 2, 1])

@@ -331,3 +331,47 @@ def test_device_marginalization_matches_host():
     span = 2.2  # scene extent (see traj above)
     assert ate_d < max(1.3 * ate_h, ate_h + 0.005 * span), (ate_d, ate_h)
     assert np.all(np.abs(bs_d) < 0.2), bs_d.max()
+
+
+def test_traj_rows_gain_ecef_after_gnss_init():
+    """Once georeferenced, every trajectory row gets an ECEF position
+    (dbaf_frontend.py:270-272: ``p = ten0 + Cen(ten0) @ p_local``)."""
+    import types
+
+    from dbaf_tpu.utils import geodesy
+
+    cfg = make_cfg()
+    video = DepthVideo(cfg)
+    coupled = MultiSensorBA(video, cfg)
+    graph = types.SimpleNamespace(coupled=coupled)
+    fe = Frontend(video, graph, cfg)
+
+    T = Pose(so3_exp(np.array([0.1, -0.2, 0.3])), np.array([1.0, 2.0, 3.0]))
+    fe._write_traj_row(0.5, T)
+    assert fe.trajectory_ecef == {}  # not georeferenced yet
+
+    ten0 = geodesy.geodetic_to_ecef(
+        np.array([np.deg2rad(30.5), np.deg2rad(114.3), 40.0])
+    )
+    coupled.ten0 = np.asarray(ten0, float)
+    coupled.gnss_init_t1 = 5
+    fe._write_traj_row(0.6, T)
+    assert set(fe.trajectory_ecef) == {1}
+    expect = coupled.ten0 + geodesy.Cen(coupled.ten0) @ T.t
+    np.testing.assert_allclose(fe.trajectory_ecef[1], expect, rtol=1e-12)
+    # round-trips back to the local frame
+    back = geodesy.Cen(coupled.ten0).T @ (fe.trajectory_ecef[1] - coupled.ten0)
+    np.testing.assert_allclose(back, T.t, atol=1e-8)
+
+    # the TUM writer accepts the reference's 11-field georeferenced rows
+    from dbaf_tpu.eval.traj_io import read_tum, write_tum
+
+    row8 = np.concatenate([[0.5], np.r_[T.t, 0, 0, 0, 1]])
+    row11 = np.concatenate([[0.6], np.r_[T.t, 0, 0, 0, 1], expect])
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "traj.txt")
+        write_tum(p, [row8, row11])
+        lines = open(p).read().strip().splitlines()
+    assert len(lines[0].split()) == 8 and len(lines[1].split()) == 11
