@@ -13,6 +13,8 @@ def main(argv=None):
     ap.add_argument("--imagedir", required=True)
     ap.add_argument("--calib", required=True)
     ap.add_argument("--weights", required=True)
+    ap.add_argument("--selftest", action="store_true",
+                    help="validate the checkpoint conversion and exit")
     ap.add_argument("--imupath", required=True)
     ap.add_argument("--Tbc", default=None,
                     help="path to a 4x4 body<-camera extrinsic (txt)")
@@ -23,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--pklpath", default="reconstruction_subt.pkl")
     ap.add_argument("--max_frames", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.selftest:
+        from . import runner
+
+        runner.weights_selftest(args.weights)
+        return
 
     from ..data.streams import image_stream, load_imu
     from ..slam.system import DBAFusion

@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--datadir", required=True)
     ap.add_argument("--calib", required=True)
     ap.add_argument("--weights", required=True)
+    ap.add_argument("--selftest", action="store_true",
+                    help="validate the checkpoint conversion and exit")
     ap.add_argument("--imupath", required=True)
     ap.add_argument("--stride", type=int, default=4)
     ap.add_argument("--resultpath", default="result_tumvi.txt")
@@ -43,6 +45,12 @@ def main(argv=None):
     ap.add_argument("--pklpath", default="reconstruction_tumvi.pkl")
     ap.add_argument("--max_frames", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.selftest:
+        from . import runner
+
+        runner.weights_selftest(args.weights)
+        return
 
     from ..data.hdf5 import h5_stream
     from ..data.streams import load_imu, load_stamps, tumvi_stream

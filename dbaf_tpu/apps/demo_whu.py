@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--imagestamp", required=True)
     ap.add_argument("--calib", required=True)
     ap.add_argument("--weights", required=True)
+    ap.add_argument("--selftest", action="store_true",
+                    help="validate the checkpoint conversion and exit")
     ap.add_argument("--imupath", required=True)
     ap.add_argument("--stride", type=int, default=2)
     ap.add_argument("--use_gnss", action="store_true")
@@ -40,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--pklpath", default="reconstruction_whu.pkl")
     ap.add_argument("--max_frames", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.selftest:
+        from . import runner
+
+        runner.weights_selftest(args.weights)
+        return
 
     from ..data.streams import image_stream, load_imu, load_stamps
     from ..slam.system import DBAFusion

@@ -84,7 +84,10 @@ def _fuse_conv_heads(tree: Dict[str, object]) -> None:
     for v in tree.values():
         if isinstance(v, dict):
             _fuse_conv_heads(v)
-    if "convz" in tree and "convr" in tree and "convq" in tree:
+    if all(
+        isinstance(tree.get(n), dict) and "kernel" in tree[n]
+        for n in ("convz", "convr", "convq")
+    ):
         kz, kr, kq = (tree.pop(n) for n in ("convz", "convr", "convq"))
         h = kz["kernel"].shape[-1]
         tree["convzrq_i"] = {
@@ -117,9 +120,59 @@ def _fuse_conv_heads(tree: Dict[str, object]) -> None:
         }
 
 
-def load_droid_weights(path: str) -> Dict[str, object]:
+class ConversionError(RuntimeError):
+    """Converted checkpoint does not match the DROID architecture."""
+
+
+# critical post-conversion paths and their exact kernel shapes; a checkpoint
+# from a different architecture fails fast here with a named path instead of
+# a cryptic flax scope error at first apply
+_EXPECTED = {
+    ("fnet", "conv1", "kernel"): (7, 7, 3, 32),
+    ("fnet", "conv2", "kernel"): (1, 1, 128, 128),
+    ("fnet", "layer1_0", "conv1", "kernel"): (3, 3, 32, 32),
+    ("fnet", "layer3_1", "conv2", "kernel"): (3, 3, 128, 128),
+    ("cnet", "conv2", "kernel"): (1, 1, 128, 256),
+    ("update", "corr_encoder_0", "kernel"): (1, 1, 196, 128),
+    ("update", "flow_encoder_0", "kernel"): (7, 7, 4, 128),
+    ("update", "dw_0", "kernel"): (3, 3, 128, 256),
+    ("update", "delta_2", "kernel"): (3, 3, 128, 2),
+    ("update", "weight_2", "kernel"): (3, 3, 128, 2),
+    ("update", "gru", "convzrq_i", "kernel"): (3, 3, 320, 384),
+    ("update", "gru", "convzr_n", "kernel"): (3, 3, 128, 256),
+    ("update", "gru", "convq_n", "kernel"): (3, 3, 128, 128),
+    ("update", "gru", "convzrq_glo", "kernel"): (1, 1, 128, 384),
+    ("update", "gru", "w", "kernel"): (1, 1, 128, 128),
+}
+
+
+def validate_params(tree: Mapping[str, object]) -> None:
+    """Check the converted tree against the DROID architecture; raise
+    :class:`ConversionError` naming the first mismatching path."""
+    for path, shape in _EXPECTED.items():
+        node = tree
+        for p in path:
+            if not isinstance(node, Mapping) or p not in node:
+                raise ConversionError(
+                    f"checkpoint conversion: missing parameter "
+                    f"{'.'.join(path)} (stopped at {p!r}) -- is this the "
+                    f"published DROID-SLAM TartanAir droid.pth?"
+                )
+            node = node[p]
+        got = tuple(np.shape(node))
+        if got != shape:
+            raise ConversionError(
+                f"checkpoint conversion: {'.'.join(path)} has shape {got}, "
+                f"expected {shape}"
+            )
+
+
+def load_droid_weights(path: str, validate: bool = True) -> Dict[str, object]:
     """Load the published DROID-SLAM .pth checkpoint and convert."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_state_dict({k: v.numpy() for k, v in state.items()})
+    params = convert_state_dict({k: v.numpy() for k, v in state.items()})
+    if validate:
+        validate_params(params)
+    return params

@@ -211,3 +211,104 @@ def test_linear_container_rekey(rng):
     g = f.rekey({V(0): V(5), V(1): V(6)})
     assert g.keys == (V(5), V(6))
     assert V(5) in g.lin_point
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r1 item 4: bound the preintegration covariance divergence vs the
+# GTSAM PreintegratedCombinedMeasurements discretization the reference uses
+# (/root/reference/dbaf/multi_sensor.py:32-103).  The reference configures
+# zero integration noise and zero bias-init covariance (multi_sensor.py:48,
+# 53), so the oracle only needs white noise + bias random walk.
+
+
+class _GtsamCombinedOracle:
+    """GTSAM manifold CombinedImuFactor covariance propagation, state order
+    [theta, p, v, ba, bg] (CombinedImuFactor.cpp: F blocks from
+    ManifoldPreintegration::update single Jacobians, G_measCov_Gt assembled
+    per-measurement from the same Jacobians with 1/dt continuous->discrete
+    scaling, incl. the pos/vel cross term)."""
+
+    def __init__(self, params, bias):
+        self.p = params
+        self.bias = np.asarray(bias, float)
+        self.R = np.eye(3)
+        self.cov = np.zeros((15, 15))
+
+    def integrate(self, acc, gyro, dt):
+        from dbaf_tpu.fusion.se3np import hat, so3_exp, so3_right_jacobian
+
+        a = np.asarray(acc, float) - self.bias[:3]
+        w = np.asarray(gyro, float) - self.bias[3:]
+        Rincr = so3_exp(w * dt)
+        Jr = so3_right_jacobian(w * dt)
+        R = self.R
+        ah = hat(a)
+
+        # single Jacobians (ManifoldPreintegration::update)
+        theta_H_biasOmega = -Jr * dt
+        pos_H_biasAcc = -0.5 * R * dt * dt
+        vel_H_biasAcc = -R * dt
+
+        F = np.eye(15)
+        F[0:3, 0:3] = Rincr.T
+        F[3:6, 0:3] = -0.5 * R @ ah * dt * dt
+        F[3:6, 6:9] = np.eye(3) * dt
+        F[6:9, 0:3] = -R @ ah * dt
+        F[0:3, 12:15] = theta_H_biasOmega
+        F[3:6, 9:12] = pos_H_biasAcc
+        F[6:9, 9:12] = vel_H_biasAcc
+
+        wC = np.eye(3) * self.p.gyro_noise**2
+        aC = np.eye(3) * self.p.accel_noise**2
+        G = np.zeros((15, 15))
+        G[0:3, 0:3] = theta_H_biasOmega @ wC @ theta_H_biasOmega.T / dt
+        G[3:6, 3:6] = pos_H_biasAcc @ aC @ pos_H_biasAcc.T / dt
+        G[6:9, 6:9] = vel_H_biasAcc @ aC @ vel_H_biasAcc.T / dt
+        G[3:6, 6:9] = pos_H_biasAcc @ aC @ vel_H_biasAcc.T / dt
+        G[6:9, 3:6] = G[3:6, 6:9].T
+        G[9:12, 9:12] = np.eye(3) * self.p.accel_walk**2 * dt
+        G[12:15, 12:15] = np.eye(3) * self.p.gyro_walk**2 * dt
+
+        self.cov = F @ self.cov @ F.T + G
+        self.R = R @ Rincr
+
+
+def _reorder_tvp_to_tpv(cov):
+    """[theta, v, p, ba, bg] (repo) -> [theta, p, v, ba, bg] (gtsam)."""
+    idx = np.r_[0:3, 6:9, 3:6, 9:15]
+    return cov[np.ix_(idx, idx)]
+
+
+@pytest.mark.parametrize("interval", [0.05, 0.1, 0.5])
+def test_preintegration_covariance_matches_gtsam_combined(interval):
+    from dbaf_tpu.fusion.preintegration import ImuParams, PreintegratedImu
+
+    params = ImuParams(accel_noise=0.05, gyro_noise=0.005,
+                       accel_walk=1e-4, gyro_walk=1e-6)
+    bias = np.array([0.02, -0.01, 0.03, 0.002, -0.001, 0.0015])
+    pim = PreintegratedImu(params, bias)
+    orc = _GtsamCombinedOracle(params, bias)
+
+    rng = np.random.default_rng(3)
+    hz = 200.0
+    n = max(int(round(interval * hz)), 1)
+    for k in range(n):
+        t = k / hz
+        acc = np.array([0.4 * np.sin(3 * t), 9.807 + 0.2 * np.cos(5 * t),
+                        -0.3 * np.sin(2 * t)]) + 0.01 * rng.standard_normal(3)
+        gyr = np.array([0.3 * np.cos(2 * t), -0.25 * np.sin(4 * t),
+                        0.2]) + 0.002 * rng.standard_normal(3)
+        pim.integrate(acc, gyr, 1.0 / hz)
+        orc.integrate(acc, gyr, 1.0 / hz)
+
+    got = _reorder_tvp_to_tpv(pim.cov)
+    ref = orc.cov
+    # the discretizations agree exactly (same per-step F/G algebra); the
+    # bound is far below anything that could move a <=5 cm ATE target
+    scale = np.linalg.norm(ref)
+    assert np.linalg.norm(got - ref) < 1e-12 * max(scale, 1e-30), (
+        np.linalg.norm(got - ref), scale
+    )
+    # sanity: covariance is PSD and grows with the interval
+    ev = np.linalg.eigvalsh(ref)
+    assert ev.min() > -1e-18

@@ -263,8 +263,17 @@ def make_mm_variant(which):
         G_, M_, K_, N_ = 32, 192, 128, 512
     if which in ("mm_p2v6g16", "mm_p2v6g16_i8"):
         G_, M_, K_, N_ = 16, 384, 128, 1024
-    if which == "mm_buildp_i8":  # paired build: K=128 N=128
+    if which in ("mm_buildp", "mm_buildp_i8"):  # paired build: K=128 N=128
         G_, M_, K_, N_ = 24, 256, 128, 128
+    # --- v9 level-split candidates (round 2) ---
+    if which == "mm_p2l01":   # levels {0,1} P2: LRpad 16 halves N vs mm_p2
+        G_, M_, K_, N_ = 16, 768, 64, 256
+    if which == "mm_p2q":     # levels {2,3} P2 on a 4x4-pooled volume
+        G_, M_, K_, N_ = 16, 192, 16, 256
+    if which == "mm_buildq":  # pooled-volume build: one (256,128)x(128,192)
+        G_, M_, K_, N_ = 1, 256, 128, 192
+    if which == "mm_build1":  # unsplit build: one (256,128)x(128,3072) dot
+        G_, M_, K_, N_ = 1, 256, 128, 3072
     # y-stage subgroup-4 blockdiag: per 256-px tile, 4 subgroups x G=16
     # cells -> 64 batched (128, 48) x (48, 128) dots (4x useful work)
     if which == "mm_y4":
