@@ -222,18 +222,31 @@ def bench_coupled():
         ).astype(np.int32)
         graph.aux = {"id_map": jnp.asarray(id_map)}
 
+    def settle():
+        """Force real completion of all enqueued async keyframe steps
+        (the zero-pull pipeline only enqueues; a scalar pull is the only
+        trustworthy barrier on the remote transport)."""
+        ca = frontend._casync
+        poses = (ca.state["poses"] if ca is not None and ca.active
+                 else video.poses)
+        return float(jnp.sum(poses.astype(jnp.float32)))
+
     for k in range(n_warm):
         feed(k)
+    settle()
     assert video.imu_enabled, "VI init did not trigger in the warmup"
     megas0 = graph.mega_count
 
     t0 = time.time()
     for k in range(n_warm, n):
         feed(k)
+    settle()
     dt = time.time() - t0
     megas = graph.mega_count - megas0
+    async_steps = (frontend._casync.total_steps
+                   if frontend._casync is not None else 0)
     return dict(kf_per_sec=n_meas / dt, keyframes=n_meas,
-                mega_steps=megas)
+                mega_steps=megas, async_steps=async_steps)
 
 
 def main():
@@ -248,6 +261,7 @@ def main():
         "unit": "keyframes/s",
         "vs_baseline": round(rc["kf_per_sec"] / REFERENCE_COUPLED_KF_PER_SEC, 3),
         "mega_steps": rc["mega_steps"],
+        "async_steps": rc["async_steps"],
     }), flush=True)
 
     rg = bench_visual(mode="cull")

@@ -620,6 +620,17 @@ class MultiSensorBA:
             self._A_dev = jnp.asarray(ba2fg_block(self.Tbc), jnp.float32)
         return self._A_dev
 
+    def _Tbc12_dev(self):
+        """Cached device copy of the body<-camera extrinsic as 12 floats
+        [R(9)|t(3)] (for the in-kernel pose seed, slam/coupled_async.py);
+        Tbc is fixed after init."""
+        if getattr(self, "_Tbc12", None) is None:
+            self._Tbc12 = jnp.asarray(
+                np.concatenate([self.Tbc.R.reshape(9), self.Tbc.t]),
+                jnp.float32,
+            )
+        return self._Tbc12
+
     def stash_state_rows(self, rows_flat_np):
         """Host copy of the flat window state that rode the host_pack pull
         (graph.host_pack); sync_host consumes it with zero extra D2H."""

@@ -85,6 +85,8 @@ class Frontend:
         # deferred mega step: t1 at dispatch time, or None.  The packed
         # scalars ride the next frame's motion-gate pull (one RTT/keyframe).
         self._pending_t1: Optional[int] = None
+        # fully device-resident coupled pipeline (slam/coupled_async.py)
+        self._casync = None
 
     # ------------------------------------------------------------------
     def set_multisensor(self, all_imu, all_gnss=None, all_odo=None,
@@ -133,6 +135,13 @@ class Frontend:
     def _resolve_pending(self):
         if self._pending_t1 is not None:
             self.resolve_pending(self.graph.host_pack)
+
+    def drain_async(self):
+        """Flush every deferred device-side step back into the host
+        mirrors (terminate/save_state/eval entry points)."""
+        self._resolve_pending()
+        if self._casync is not None and self._casync.active:
+            self._casync.sync()
 
     # ------------------------------------------------------------------
     def _initialize(self):
@@ -257,6 +266,16 @@ class Frontend:
                 self.coupled.vi_init_time = 1e9
             self._ingest_sensors(cur_t)
 
+            # zero-pull device-resident keyframe step (coupled_async.py);
+            # rollup/reinit events drain back to the synchronous flow below
+            ca = self._casync
+            if ca is not None and ca.active:
+                if self.t1 > fc.rollup_start or self.coupled.reinit:
+                    ca.sync()
+                else:
+                    ca.step(cur_t)
+                    return
+
             # IMU-predicted pose seed (dbaf_frontend.py:222-228)
             if self.video.imu_enabled:
                 Twc = self.coupled.state.wTbs[-1].compose(self.coupled.Tbc)
@@ -346,6 +365,7 @@ class Frontend:
             if self.cfg.upsample and getattr(self.graph, "agg_fn", None):
                 self.graph.run_upsample(self.graph.agg_fn)
             self.video.seed_next(self.t1)
+            self._maybe_activate_casync()
             return
 
         self.graph.update(None, None, use_inactive=True, rounds=self.iters1)
@@ -422,6 +442,18 @@ class Frontend:
         # already seeded on the non-cull visual update
         if not seeded:
             self.video.seed_next(self.t1)
+
+    def _maybe_activate_casync(self):
+        """Enter the zero-pull coupled pipeline when the state qualifies
+        (slam/coupled_async.py scope gates)."""
+        if not getattr(self.cfg.sensors, "coupled_async", False):
+            return
+        if self._casync is None:
+            from .coupled_async import CoupledAsync
+
+            self._casync = CoupledAsync(self)
+        if not self._casync.active and self._casync.can_activate():
+            self._casync.activate()
 
     # ------------------------------------------------------------------
     def _update_visual_fused(self, cur_t: float, fc):

@@ -178,7 +178,7 @@ class DBAFusion:
         import jax.numpy as jnp
 
         v, g, fe = self.video, self.graph, self.frontend
-        fe._resolve_pending()  # finish any deferred mega bookkeeping
+        fe.drain_async()  # finish any deferred device-side steps
         g._flush()  # apply pending edge permutations before snapshotting
         state = {
             "video": {
@@ -260,7 +260,7 @@ class DBAFusion:
 
         if self._async is not None and self._async.active:
             self._async.sync()
-        self.frontend._resolve_pending()
+        self.frontend.drain_async()
         traj = self.frontend.trajectory
         if not traj:
             return np.zeros((0, 8))

@@ -113,6 +113,16 @@ class SensorConfig:
     # per keyframe; off = the two-call flow (one dispatch+pull per update
     # call).  Only active together with device_solver.
     coupled_mega: bool = True
+    # fully device-resident coupled pipeline (slam/coupled_async.py):
+    # in-kernel edge lifecycle + state continuation/pose seed + window
+    # marginalization -- ZERO host pulls per keyframe in steady state.
+    # Activates post-VI-init for IMU-only no-cull configs (thresholds < 0,
+    # no GNSS/odo/ZUPT, no save_pkl); init/reinit/rollup events drain back
+    # to the synchronous flow.  Preintegrations are linearized at the
+    # previous keyframe's bias (one solve older than the sync flow); the
+    # factor's first-order bias correction absorbs the difference --
+    # trajectory parity is covered by tests/test_coupled_async.py.
+    coupled_async: bool = True
     fg_cap: int = 20                 # static factor-graph window capacity
 
 

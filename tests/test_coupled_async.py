@@ -1,0 +1,208 @@
+"""Parity of the zero-pull async coupled pipeline (slam/coupled_async.py)
+against the synchronous fused flow it replaces.
+
+Async differs from sync only in (a) preintegration linearization bias (one
+solve older; first-order-corrected in the factor) and (b) the f32 in-kernel
+pose seed vs the host f64 one -- so trajectories agree to solver noise, not
+bit-exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dbaf_tpu.eval.ate import ate_rmse
+from dbaf_tpu.fusion.preintegration import ImuParams, PreintegratedImu
+from tests.test_slam_multisensor import (
+    FPS, MsHarness, W8, H8, make_cfg, simulate,
+)
+from dbaf_tpu.ops import lie
+
+
+def _run(coupled_async, n_frames=26, rollup_start=1000):
+    imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+
+    from tests.test_slam_multisensor import plane_disparity
+
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, z0=4.0))
+    gt_cw = np.stack(gt_cw).astype(np.float32)
+    gt_disps = np.stack(gt_disps).astype(np.float32)
+
+    cfg = make_cfg(vi_warmup=12, keyframe_thresh=-1.0,
+                   rollup_start=rollup_start, rollup_shift=8)
+    cfg.frontend.translation_threshold = -1.0
+    cfg.sensors.device_solver = True
+    cfg.sensors.coupled_mega = True
+    cfg.sensors.coupled_async = coupled_async
+    h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
+                  imu_rows)
+    for k in range(n_frames):
+        h.feed(k)
+    h.frontend.drain_async()  # drain the async pipeline
+    t1 = h.frontend.t1
+    # compare live-window states only: host mirrors of frames that left
+    # the window before a drain keep their last-synced values, whose age
+    # differs between the modes by construction
+    lo = h.graph.coupled.last_t0
+    est = np.asarray([h.graph.coupled.state.wTbs[k].t for k in range(lo, t1)])
+    gt_ids = np.round(h.video.tstamp[lo:t1] * FPS).astype(int)
+    ref = np.stack([poses_at[g][1] for g in gt_ids])
+    traj = np.stack([np.asarray(p, np.float64)
+                     for _, p in h.frontend.trajectory])
+    return h, t1, est, ref, traj
+
+
+@pytest.mark.slow
+def test_async_matches_sync_coupled():
+    h_a, t1_a, est_a, ref_a, traj_a = _run(True)
+    h_s, t1_s, est_s, ref_s, traj_s = _run(False)
+
+    ca = h_a.frontend._casync
+    assert ca is not None and ca.total_steps >= 6, getattr(ca, "total_steps", None)
+    assert h_s.frontend._casync is None or h_s.frontend._casync.total_steps == 0
+
+    assert t1_a == t1_s, (t1_a, t1_s)
+    # Window states agree to solver noise -- with one caveat: the device
+    # LM's accept/reject is thresholded, so the f32 seed difference can
+    # flip a realized iteration count on a rough keyframe, tilting the
+    # window by a few mm before the (contractive) system pulls both runs
+    # back together.  Measured on this scene: a single 8.4 mm transient
+    # decaying to ~4 mm (2.3 m span).  Structure must stay EXACT; poses
+    # within 2 cm; accuracy parity is the ATE bound below.
+    np.testing.assert_allclose(est_a, est_s, atol=2e-2)
+    assert traj_a.shape == traj_s.shape
+    np.testing.assert_allclose(traj_a[:, :3], traj_s[:, :3], atol=2e-2)
+    assert np.mean(np.linalg.norm(traj_a[:, :3] - traj_s[:, :3], axis=1)) \
+        < 5e-3
+    # quaternions up to sign
+    qd = np.minimum(
+        np.abs(traj_a[:, 3:] - traj_s[:, 3:]).max(axis=1),
+        np.abs(traj_a[:, 3:] + traj_s[:, 3:]).max(axis=1),
+    )
+    assert qd.max() < 2e-2, qd.max()
+
+    # both track the ground truth
+    ate_a = ate_rmse(est_a, ref_a, align="se3")
+    ate_s = ate_rmse(est_s, ref_s, align="se3")
+    span = np.linalg.norm(ref_s.max(0) - ref_s.min(0))
+    assert ate_s < 0.08 * span, (ate_s, span)
+    assert ate_a < max(1.3 * ate_s, ate_s + 0.005 * span), (ate_a, ate_s)
+
+    # edge state written back identically structured
+    assert len(h_a.graph.ii) == len(h_s.graph.ii)
+    np.testing.assert_array_equal(np.sort(h_a.graph.ii), np.sort(h_s.graph.ii))
+    np.testing.assert_array_equal(np.sort(h_a.graph.jj), np.sort(h_s.graph.jj))
+    # marginalization advanced the device window in lockstep
+    assert h_a.graph.coupled.last_t0 == h_s.graph.coupled.last_t0
+
+
+@pytest.mark.slow
+def test_async_coupled_rollup_drain_reenter():
+    h, t1, est, ref, _ = _run(True, n_frames=30, rollup_start=20)
+    fe = h.frontend
+    assert fe.rollup_count >= 1
+    ca = fe._casync
+    assert ca is not None and ca.total_steps >= 3
+    span = np.linalg.norm(ref.max(0) - ref.min(0))
+    ate = ate_rmse(est, ref, align="se3")
+    assert ate < 0.1 * span, (ate, span)
+
+
+def test_predict_row_matches_host_preintegration(rng):
+    """In-kernel NavState propagation == fusion.preintegration.predict."""
+    from dbaf_tpu.fusion import device_graph as dg
+    from dbaf_tpu.fusion.se3np import Pose, so3_exp
+    from dbaf_tpu.slam.coupled_async import _predict_row
+
+    params = ImuParams(accel_noise=0.05, gyro_noise=0.005)
+    bias_int = np.array([0.01, -0.02, 0.015, 0.001, -0.002, 0.0005])
+    pim = PreintegratedImu(params, bias_int)
+    for k in range(40):
+        t = k / 200.0
+        acc = np.array([0.3 * np.sin(3 * t), 9.807 + 0.1 * t, -0.2])
+        gyr = np.array([0.2, -0.1 * np.cos(2 * t), 0.15])
+        pim.integrate(acc, gyr, 1 / 200.0)
+
+    R0 = so3_exp(np.array([0.2, -0.1, 0.3]))
+    p0 = np.array([1.0, -2.0, 0.5])
+    v0 = np.array([0.3, 0.1, -0.2])
+    bias_now = bias_int + np.array([2e-3, -1e-3, 5e-4, 1e-4, -2e-4, 3e-4])
+    from dbaf_tpu.fusion.preintegration import NavState
+
+    out = pim.predict(NavState(Pose(R0, p0), v0), bias_now)
+
+    NW = 8
+    row_prev = jnp.asarray(
+        np.concatenate([R0.reshape(9), p0, v0, bias_now]), jnp.float32
+    )
+    pg = dict(
+        imu_dR=np.tile(np.eye(3, dtype=np.float32), (NW - 1, 1, 1)),
+        imu_dv=np.zeros((NW - 1, 3), np.float32),
+        imu_dp=np.zeros((NW - 1, 3), np.float32),
+        imu_dt=np.zeros(NW - 1, np.float32),
+        imu_dRg=np.zeros((NW - 1, 3, 3), np.float32),
+        imu_dvg=np.zeros((NW - 1, 3, 3), np.float32),
+        imu_dva=np.zeros((NW - 1, 3, 3), np.float32),
+        imu_dpg=np.zeros((NW - 1, 3, 3), np.float32),
+        imu_dpa=np.zeros((NW - 1, 3, 3), np.float32),
+        imu_bias0=np.zeros((NW - 1, 6), np.float32),
+    )
+    k = 3
+    pg["imu_dR"][k] = pim.dR
+    pg["imu_dv"][k] = pim.dv
+    pg["imu_dp"][k] = pim.dp
+    pg["imu_dt"][k] = pim.dt
+    pg["imu_dRg"][k] = pim.dRg
+    pg["imu_dvg"][k] = pim.dvg
+    pg["imu_dva"][k] = pim.dva
+    pg["imu_dpg"][k] = pim.dpg
+    pg["imu_dpa"][k] = pim.dpa
+    pg["imu_bias0"][k] = pim.bias
+
+    class PgStub:
+        pass
+
+    stub = PgStub()
+    for kk, vv in pg.items():
+        setattr(stub, kk, jnp.asarray(vv))
+    row = np.asarray(
+        _predict_row(row_prev, stub, jnp.asarray(k),
+                     jnp.asarray(params.g_vec, jnp.float32))
+    )
+    np.testing.assert_allclose(row[:9].reshape(3, 3), out.pose.R, atol=2e-5)
+    np.testing.assert_allclose(row[9:12], out.pose.t, atol=2e-5)
+    np.testing.assert_allclose(row[12:15], out.vel, atol=2e-5)
+    np.testing.assert_allclose(row[15:21], bias_now, atol=1e-7)
+
+
+def test_roll_pg_rebases_window(rng):
+    from dbaf_tpu.fusion import device_graph as dg
+    from dbaf_tpu.slam.coupled_async import _roll_pg
+
+    NW = 6
+    flat = rng.normal(size=(dg.graph_flat_size(NW),)).astype(np.float32)
+    pg = dg.unflatten_graph(jnp.asarray(np.abs(flat)), NW)
+    # masks on, distinct frames
+    pg = pg._replace(
+        imu_mask=jnp.asarray([True, True, True, False, False]),
+        pp_mask=jnp.asarray([True, False, False, False]),
+        pp_frame=jnp.asarray([2, 0, 0, 0]),
+        gnss_mask=jnp.asarray([True, True, False, False, False, False]),
+    )
+    r = _roll_pg(pg, jnp.asarray(2), NW)
+    np.testing.assert_allclose(np.asarray(r.imu_dv)[0], np.asarray(pg.imu_dv)[2])
+    assert list(np.asarray(r.imu_mask)) == [True, False, False, False, False]
+    assert list(np.asarray(r.pp_mask)) == [True, False, False, False]
+    assert int(np.asarray(r.pp_frame)[0]) == 0
+    assert list(np.asarray(r.gnss_mask)) == [False] * 6

@@ -128,6 +128,56 @@ def run(device_solver: bool, n_frames: int = 26,
     return float(np.mean(tail))
 
 
+def run_async(n_frames: int = 30) -> float:
+    """Steady-state zero-pull pipeline (slam/coupled_async.py): total wall
+    over the measured keyframes with a scalar-pull settle at both ends
+    (per-feed timing is meaningless -- feeds only enqueue)."""
+    imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, z0=4.0))
+    gt_cw = np.stack(gt_cw).astype(np.float32)
+    gt_disps = np.stack(gt_disps).astype(np.float32)
+
+    cfg = make_cfg(vi_warmup=12, keyframe_thresh=-1.0, rollup_start=1000)
+    cfg.frontend.translation_threshold = -1.0
+    cfg.sensors.device_solver = True
+    cfg.sensors.coupled_mega = True
+    cfg.sensors.coupled_async = True
+    h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
+                  imu_rows)
+
+    def settle():
+        ca = h.frontend._casync
+        poses = (ca.state["poses"] if ca is not None and ca.active
+                 else h.video.poses)
+        return float(jnp.sum(poses.astype(jnp.float32)))
+
+    n_meas = 8
+    for k in range(n_frames - n_meas):
+        h.feed(k)
+    settle()
+    ca = h.frontend._casync
+    assert ca is not None and ca.active, "async pipeline did not activate"
+    t0 = time.perf_counter()
+    for k in range(n_frames - n_meas, n_frames):
+        h.feed(k)
+    settle()
+    dt = time.perf_counter() - t0
+    print(f"coupled[async]  {1e3 * dt / n_meas:8.1f} ms/keyframe "
+          f"({n_meas} keyframes, {ca.steps} async steps)", flush=True)
+    return dt / n_meas
+
+
 def main():
     want = set(sys.argv[1:]) or {"host", "device"}
     print("backend:", jax.default_backend(), flush=True)
@@ -137,6 +187,8 @@ def main():
         run(False)
         report_stages()
         STAGES.clear()
+    if "async" in want:
+        run_async()
     if "device" in want:
         run(True)
         report_stages()
