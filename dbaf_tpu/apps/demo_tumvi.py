@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--save_pkl", action="store_true")
     ap.add_argument("--pklpath", default="reconstruction_tumvi.pkl")
     ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--monitor", default="", metavar="DIR",
+                    help="dump the live-monitor panels and debug views"
+                         " as PNGs into DIR (dbaf_frontend.py:76-83)")
     args = ap.parse_args(argv)
 
     if args.selftest:
@@ -59,6 +62,7 @@ def main(argv=None):
     from . import runner
 
     cfg = tumvi_config(weights_path=args.weights, save_pkl=args.save_pkl)
+    cfg.frontend.monitor_dir = args.monitor
     system = DBAFusion(cfg)
 
     all_imu = load_imu(args.imupath, gyro_unit="rad")

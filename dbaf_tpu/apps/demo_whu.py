@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--save_pkl", action="store_true")
     ap.add_argument("--pklpath", default="reconstruction_whu.pkl")
     ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--monitor", default="", metavar="DIR",
+                    help="dump the live-monitor panels and debug views"
+                         " as PNGs into DIR (dbaf_frontend.py:76-83)")
     args = ap.parse_args(argv)
 
     if args.selftest:
@@ -55,6 +58,7 @@ def main(argv=None):
     from . import runner
 
     cfg = whu_config(weights_path=args.weights, save_pkl=args.save_pkl)
+    cfg.frontend.monitor_dir = args.monitor
     cfg.sensors.use_zupt = args.use_zupt
     system = DBAFusion(cfg)
 

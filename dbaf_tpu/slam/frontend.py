@@ -69,6 +69,15 @@ class Frontend:
         self.use_zupt = cfg.sensors.use_zupt
         self.high_freq_output = True
 
+        # flag-gated file-dump monitor (the reference's live show_plot
+        # window + cv2 debug views, dbaf_frontend.py:76-83, 278-314;
+        # covisible_graph.py:252-307); forces the synchronous paths
+        self.monitor = None
+        if getattr(fc, "monitor_dir", ""):
+            from ..eval.monitor import Monitor
+
+            self.monitor = Monitor(fc.monitor_dir)
+
         if self.visual_only:
             self.iters1, self.iters2 = fc.iters1, fc.iters2
         else:
@@ -249,6 +258,58 @@ class Frontend:
         )
 
     # ------------------------------------------------------------------
+    def _monitor_keyframe(self, cur_t: float):
+        """Record one keyframe into the file-dump monitor and refresh the
+        panel/debug-view PNGs on rollup (the reference refreshes its live
+        window there, dbaf_frontend.py:296-314)."""
+        mon = self.monitor
+        if mon is None:
+            return
+        from scipy.spatial.transform import Rotation
+
+        multisensor = self.all_imu is not None and self.coupled is not None
+        T = np.eye(4)
+        bg = None
+        if multisensor and self.video.imu_enabled:
+            P = self.coupled.state.wTbs[self.t1 - 1]
+            T[:3, :3], T[:3, 3] = P.R, P.t
+            bg = np.asarray(self.coupled.state.bs[self.t1 - 1][3:6])
+        else:
+            row = np.asarray(_traj_row(self.video.poses, self.t1 - 1))
+            T[:3, :3] = Rotation.from_quat(row[3:7]).as_matrix()
+            T[:3, 3] = row[:3]
+        mon.record_keyframe(cur_t, T, gyro_bias=bg)
+        if not self.did_rollup:
+            return
+        mon.dump_summary()
+        if not mon.debug_views:
+            return
+        g = self.graph
+        if len(g.ii) == 0:
+            return
+        # oldest keyframe's disparity (covisible_graph.py:253-263)
+        mon.dump_disparity(np.asarray(self.video.disps[int(g.ii[0])]))
+        # newest edge's flow/weight overlay (covisible_graph.py:266-283):
+        # prefer the (max ii, max ii - 5) edge like the reference, else the
+        # newest active edge
+        sel = np.nonzero((g.ii == g.ii.max()) & (g.jj == g.ii.max() - 5))[0]
+        e = int(sel[0]) if len(sel) else int(np.argmax(g.ii))
+        import dbaf_tpu.ops.projective as _pj
+
+        target = np.asarray(g.edges.target[e])
+        weight = np.asarray(g.edges.weight[e])
+        coords0 = np.asarray(
+            _pj.coords_grid(target.shape[0], target.shape[1])
+        )
+        img = self.video.images_small[int(g.ii[e])]
+        mon.dump_flow_weight(img, target, coords0, weight)
+        # covisibility graph over camera centers (covisible_graph.py:287-307)
+        n = self.t1
+        cw = np.asarray(self.video.poses[:n], np.float64)
+        centers = lie_np.se3_inv(cw)[:, :3]
+        mon.dump_covisible(centers, g.ii, g.jj, g.ii_inac, g.jj_inac)
+
+    # ------------------------------------------------------------------
     def _update(self):
         """dbaf_frontend.py:153-375."""
         self.count += 1
@@ -314,7 +375,7 @@ class Frontend:
         if self.video.has_depth:
             self.video.seed_depth(self.t1 - 1)
 
-        if not multisensor:
+        if not multisensor and self.monitor is None:
             self._update_visual_fused(cur_t, fc)
             return
 
@@ -351,6 +412,7 @@ class Frontend:
             else:
                 self._write_traj_row(
                     cur_t, self.coupled.state.wTbs[self.t1 - 1])
+            self._monitor_keyframe(cur_t)
             if culled:
                 self.graph.rm_keyframe(self.t1 - 2)
                 self.coupled.rm_new_gnss(self.t1 - 2)
@@ -379,6 +441,7 @@ class Frontend:
             self.trajectory.append(
                 (cur_t, _traj_row(self.video.poses, self.t1 - 1))
             )
+        self._monitor_keyframe(cur_t)
 
         # keyframe cull decision (dbaf_frontend.py:317-353); the distance was
         # computed inside the update kernel to save a round trip
@@ -448,6 +511,8 @@ class Frontend:
         (slam/coupled_async.py scope gates)."""
         if not getattr(self.cfg.sensors, "coupled_async", False):
             return
+        if self.monitor is not None:
+            return  # monitor needs per-keyframe host state: stay synchronous
         if self._casync is None:
             from .coupled_async import CoupledAsync
 

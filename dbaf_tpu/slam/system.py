@@ -91,7 +91,9 @@ class DBAFusion:
         # the motion-gate pull carries deferred update-kernel scalars
         self.filter.frontend = self.frontend
         self._async = None
-        if getattr(cfg.frontend, "async_pipeline", False):
+        if getattr(cfg.frontend, "async_pipeline", False) and \
+                not getattr(cfg.frontend, "monitor_dir", ""):
+            # the monitor needs per-keyframe host state: stay synchronous
             from .async_pipeline import AsyncPipeline
 
             self._async = AsyncPipeline(self)

@@ -64,6 +64,10 @@ class FrontendConfig:
     # dispatch/frame, host packs drained with a 2-frame lag); visual-only
     # configs, culling supported (in-kernel shifts; async == sync tested
     # in tests/test_async_pipeline.py) (slam/async_pipeline.py)
+    monitor_dir: str = ""            # when set, dump the reference's live
+    # monitor panels + debug views as PNGs there (dbaf_frontend.py:76-83,
+    # 278-314; covisible_graph.py:252-307); forces the synchronous paths
+    # (eval/monitor.py)
 
 
 @dataclass

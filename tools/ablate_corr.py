@@ -285,6 +285,15 @@ def make_mm_variant(which):
         G_, M_, K_, N_ = 16, 768, 32, 384
     if which == "mm_poolw":  # vol0 -> w-pooled volume via (64, 32) matmul
         G_, M_, K_, N_ = 16, 768, 64, 32
+    # --- round-3 full level-split candidates ---
+    if which in ("mm_p2l0", "mm_p2l0_i8"):   # level 0 alone: N = group*8
+        G_, M_, K_, N_ = 16, 768, 64, 128
+    if which == "mm_p2l1":   # level 1 on a 2x2-pooled volume
+        G_, M_, K_, N_ = 16, 384, 32, 128
+    if which == "mm_pool21":  # 2x2-pooled vol -> 4x4 x-pool (32, 16) matmul
+        G_, M_, K_, N_ = 16, 384, 32, 16
+    if which == "mm_yl0":     # level-0 y-stage, S=4 blockdiag, N=8 taps pad 32
+        G_, M_, K_, N_ = 64, 32, 192, 32
     int8 = which.endswith("_i8") or which == "mm_i8"
     in_dt = jnp.int8 if int8 else jnp.bfloat16
     out_dt = jnp.int32 if int8 else jnp.bfloat16
