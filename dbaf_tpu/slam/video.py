@@ -144,6 +144,35 @@ class DepthVideo:
         )
         self.nets = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
         self.inps = jnp.zeros((B, h8, w8, 128), dtype=jnp.bfloat16)
+
+        # keyframe-sharded feature buffers (SURVEY.md 2.9 bullet 3): the
+        # fmaps/nets/inps slabs -- the reference's large DepthVideo axes
+        # (depth_video.py:64-66) -- distributed over the device mesh by
+        # keyframe slot.  The update kernels gather rows by edge index;
+        # XLA/GSPMD inserts the collectives.  Poses/disps stay replicated
+        # (tiny, solver state).
+        self.kf_sharding = None
+        if getattr(cfg, "shard_video", False):
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(_jax.devices())
+            if n_dev > 1:
+                if B % n_dev:
+                    raise ValueError(
+                        f"shard_video needs buffer ({B}) divisible by the "
+                        f"device count ({n_dev})"
+                    )
+                mesh = make_mesh(n_dev, axis="kf")
+                self.kf_sharding = NamedSharding(mesh, PartitionSpec("kf"))
+                put = lambda x: _jax.device_put(x, self.kf_sharding)
+                self.fmaps = put(self.fmaps)
+                self.nets = put(self.nets)
+                self.inps = put(self.inps)
+                if self.fmaps_right is not None:
+                    self.fmaps_right = put(self.fmaps_right)
         self.intrinsics = jnp.zeros((4,), dtype=jnp.float32)  # at 1/8 scale
         # full-resolution convex-upsampled disparities (depth_video.py:57),
         # filled by the GraphAgg path when cfg.upsample

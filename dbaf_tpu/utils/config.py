@@ -142,6 +142,10 @@ class DBAFusionConfig:
     save_pkl: bool = False
     upsample: bool = False
     weights_path: Optional[str] = None
+    shard_video: bool = False        # shard the large keyframe buffers
+    # (fmaps/nets/inps, the big axes of the reference's DepthVideo,
+    # depth_video.py:64-66) over the device mesh by keyframe slot
+    # (SURVEY.md 2.9); needs buffer % device_count == 0
 
     @property
     def feat_size(self) -> Tuple[int, int]:
