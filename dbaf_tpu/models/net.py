@@ -211,6 +211,52 @@ class GraphAgg(nn.Module):
         return 0.01 * eta[..., 0], upmask
 
 
+class _CorrEnc0(nn.Module):
+    """First 1x1 conv of the corr encoder, accepting either the reference
+    196-channel layout or the fused Pallas kernels' raw 1024-channel
+    (32x32 per-pixel block) layout.
+
+    The parameter is ALWAYS the reference-shaped (1, 1, 196, 128) kernel
+    (so the torch checkpoint converter is unaffected); for raw input the
+    kernel rows are scattered to the block positions at trace time
+    (ops/corr_pallas.raw_corr_index), folding the diagonal-extraction
+    epilogue of the lookup kernel into this contraction.  Off-block raw
+    positions (cross-level y/x products the reference never reads) get
+    zero weight rows, so the result is bit-identical math on 5.2x the
+    MACs -- cheaper than the multi-pass XLA shuffle of the ~300 MB block
+    tensor that it replaces.
+    """
+
+    dtype: Any = jnp.bfloat16
+    channels: int = 196
+
+    @nn.compact
+    def __call__(self, corr):
+        kernel = self.param(
+            "kernel", _conv_init, (1, 1, self.channels, 128), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (128,), jnp.float32)
+        w = kernel[0, 0]
+        if corr.shape[-1] != self.channels:
+            from ..ops.corr_pallas import raw_corr_index
+
+            assert corr.shape[-1] == 1024, corr.shape
+            idx = raw_corr_index()  # (1024,) block pos -> ref channel
+            w = jnp.where(
+                (idx >= 0)[:, None],
+                jnp.take(w, jnp.maximum(idx, 0), axis=0),
+                0.0,
+            )
+        # mirror flax nn.Conv(dtype=...): operands and bias cast to the
+        # compute dtype, bf16 result (f32 accumulation inside the MXU)
+        y = jax.lax.dot_general(
+            corr.astype(self.dtype), w.astype(self.dtype),
+            (((corr.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype,
+        )
+        return y + bias.astype(self.dtype)
+
+
 class UpdateModule(nn.Module):
     """RAFT-style update operator (droid_net.py:74-142).
 
@@ -238,7 +284,7 @@ class UpdateModule(nn.Module):
             dtype=self.dtype, name=name,
         )
 
-        c = nn.relu(conv(128, 1, "corr_encoder_0")(corr))
+        c = nn.relu(_CorrEnc0(self.dtype, name="corr_encoder_0")(corr))
         c = nn.relu(conv(128, 3, "corr_encoder_2")(c))
         f = nn.relu(conv(128, 7, "flow_encoder_0")(flow))
         f = nn.relu(conv(64, 3, "flow_encoder_2")(f))

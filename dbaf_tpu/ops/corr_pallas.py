@@ -765,7 +765,13 @@ def _fused_xy_kernel(
     the volume is quantized per tile (dynamic symmetric, scale 127/max|vol|)
     and the tent x-tables with fixed scale 127 (values in [0, 1]).  Worst-
     case error ~1.2% of the tile's max correlation (vol 0.4% + 2 tent
-    weights 0.8%); the y stage stays bf16."""
+    weights 0.8%); the y stage stays bf16.
+
+    (Note: asking the MXU for bf16 results directly
+    (preferred_element_type=bf16) is rejected by Mosaic -- 'Expected
+    matmul acc to be 32-bit' -- so the f32-result + astype(bf16) pairs
+    below are the only option; Mosaic fuses the cast into the result
+    store.)"""
     dt = jnp.bfloat16
     f1 = f1_ref[0]            # (tile, C)
     TP = f1.shape[0]
@@ -934,11 +940,40 @@ def _blockdiag_y_tables(g0yc, s0yc, S: int):
     return G0, S0
 
 
+def raw_corr_index(radius: int = DEFAULT_RADIUS,
+                   num_levels: int = DEFAULT_LEVELS):
+    """Gather index mapping the raw 32x32 block layout of the fused xy
+    kernels to the reference channel order.
+
+    The kernel's per-pixel output block is (y-tap row = l*R+dy, x-tap col
+    = l*R+dx) flattened to 32*32 = 1024; the reference channel is
+    c = l*R*R + dx*R + dy (see the swapaxes in the epilogue of
+    :func:`corr_fused_xy_prepared`).  Returns ``idx`` (1024,) int32 with
+    idx[raw_pos] = c, or -1 for positions outside every level's diagonal
+    block (cross-level y/x products the reference never reads -- a
+    consumer must give them zero weight).  Use either direction:
+      ref[c] = raw[pos] via raw.take(pos_of_c)   (pos = argsort trick), or
+      W_raw = zeros(1024, F).at[pos].set(W_ref[c]) to fold the extraction
+      into a following 1x1 conv / matmul.
+    """
+    import numpy as np
+
+    R = 2 * radius + 1
+    idx = np.full(32 * 32, -1, np.int32)
+    for l in range(num_levels):
+        for dy in range(R):
+            for dx in range(R):
+                idx[(l * R + dy) * 32 + (l * R + dx)] = (
+                    l * R * R + dx * R + dy
+                )
+    return idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
-        "y_sub", "y_tab",
+        "y_sub", "y_tab", "raw",
     ),
 )
 def corr_fused_xy_prepared(
@@ -953,12 +988,17 @@ def corr_fused_xy_prepared(
     int8: bool = False,
     y_sub: int = 0,
     y_tab: int = 0,
+    raw: bool = False,
 ) -> jnp.ndarray:
     """x-first fused lookup on preprocessed operands (prepare_corr_fmaps).
 
     Same contract and numerics as :func:`corr_fused_blk_prepared`; with
     ``int8=True`` the P2 stage runs on the int8 MXU (see _fused_xy_kernel,
-    error ~1% of the per-tile max correlation)."""
+    error ~1% of the per-tile max correlation).  With ``raw=True`` the
+    diagonal-extraction epilogue (a multi-pass XLA shuffle of the ~300 MB
+    block tensor) is skipped and the (E, H, W, 1024) raw block layout is
+    returned for a consumer that folds the extraction into its first
+    1x1 contraction (see :func:`raw_corr_index`)."""
     E, P_in, C = f1p.shape
     _, H2, _, W2 = f2h.shape
     _, H, W, _ = coords.shape
@@ -1022,6 +1062,9 @@ def corr_fused_xy_prepared(
         jnp.asarray(g0xt), jnp.asarray(s0xt),
     )
 
+    if raw:
+        return full.reshape(E, H, W, 32 * 32)
+
     # rows are (r, y-row i), cols x-row j: swap to x-major before the
     # diagonal-level extraction so the channel order matches the reference
     full = full.reshape(E, P_in, 32, 32)
@@ -1038,7 +1081,7 @@ def corr_fused_xy_prepared(
     jax.jit,
     static_argnames=(
         "radius", "num_levels", "tile", "group", "interpret", "int8",
-        "y_sub", "y_tab",
+        "y_sub", "y_tab", "raw",
     ),
 )
 def corr_fused_xy_pallas(
@@ -1053,12 +1096,13 @@ def corr_fused_xy_pallas(
     int8: bool = False,
     y_sub: int = 0,
     y_tab: int = 0,
+    raw: bool = False,
 ) -> jnp.ndarray:
     """x-first fused correlation build + lookup (see corr_fused_xy_prepared)."""
     f1p, f2h = prepare_corr_fmaps(fmap1, fmap2)
     return corr_fused_xy_prepared(
         f1p, f2h, coords, radius, num_levels, tile=tile, group=group,
-        interpret=interpret, int8=int8, y_sub=y_sub, y_tab=y_tab,
+        interpret=interpret, int8=int8, y_sub=y_sub, y_tab=y_tab, raw=raw,
     )
 
 
@@ -1088,6 +1132,22 @@ def corr_fused_xy_pallas(
 # waste (each pixel uses only its own 32 of M=group*32 P2 columns, so
 # executed FLOPs scale with group) is MORE than paid back by MXU-happy
 # N=M shapes and fewer, larger y-stage dots.  group=16/tile=256 stays.
+#
+# Round-3 measured negatives (v5e, 2026-08-20, tools/profile_corr.py):
+# * int8 PREBUILT volume (build_xy_volume_i8 1.30 ms/keyframe +
+#   corr_fused_xy_from_vol_i8 20.04 ms/round vs fused v5g16yt4 16.15):
+#   even at half the bytes of v8, streaming the volume from HBM loses to
+#   the in-kernel rebuild -- the (.., W2=64) int8 trailing blocks run at
+#   a quarter of the (32,128)-tile lane width.
+# * bf16 MXU results (preferred_element_type=bfloat16) inside the kernel:
+#   rejected by Mosaic ("Expected matmul acc to be 32-bit"); the f32-dot +
+#   astype(bf16) pairs are already fused into the result store.
+# * raw block-layout output consumed by a scattered corr-encoder weight
+#   (raw=True + models.net._CorrEnc0, endpoint-equal pair v5g16yt4enc
+#   16.67 vs v5g16yt4rawenc 17.55 ms): the 1024-wide contraction (5.2x
+#   the 196-channel MACs) costs more than the XLA diagonal-extraction
+#   shuffle it removes.  Kept (flag + dual-width encoder, parity-tested)
+#   as an ablation; do not wire.
 
 
 def _build_vol_kernel(f1_ref, f2h_ref, out_ref, *, H2, group):

@@ -182,6 +182,20 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     np.testing.assert_array_equal(out8, out5)
 
+    # raw block layout (measured-negative ablation, kept as capability):
+    # gathering each reference channel's block position reproduces the
+    # extracted output exactly
+    from dbaf_tpu.ops.corr_pallas import raw_corr_index
+
+    out5r = np.asarray(
+        corr_fused_xy_pallas(f1, f2, coords, group=8, interpret=True,
+                             raw=True)
+    )
+    idx = raw_corr_index()
+    pos = np.full(idx.max() + 1, -1, np.int64)
+    pos[idx[idx >= 0]] = np.where(idx >= 0)[0]
+    np.testing.assert_array_equal(out5r[..., pos], out5)
+
     # v6: paired x-first (K,N >= 128 on every dot)
     from dbaf_tpu.ops.corr_pallas import corr_fused_xyp_pallas
 

@@ -4,6 +4,7 @@ droid_net.py).  Validates conv layout conversion, norm behavior, GRU algebra,
 and head wiring so the published TartanAir checkpoint converts faithfully.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -169,6 +170,38 @@ def test_update_parity_with_head_slicing(rng):
     np.testing.assert_allclose(
         np.asarray(weight_f), np.moveaxis(weight_t.numpy(), 1, -1)[..., :2], atol=1e-4
     )
+
+
+def test_update_accepts_raw_corr_layout(rng):
+    """UpdateModule consumes the fused kernels' raw 1024-ch block layout
+    (ops/corr_pallas.raw_corr_index) identically to the 196-ch reference
+    layout: the scattered corr_encoder_0 weight zeroes the off-block
+    cross-level products."""
+    from dbaf_tpu.ops.corr_pallas import raw_corr_index
+
+    E, H, W = 2, 8, 10
+    net = np.tanh(rng.normal(size=(E, H, W, 128))).astype(np.float32)
+    inp = rng.normal(size=(E, H, W, 128)).astype(np.float32)
+    corr = rng.normal(size=(E, H, W, 196)).astype(np.float32)
+    flow = rng.normal(size=(E, H, W, 4)).astype(np.float32)
+
+    idx = np.asarray(raw_corr_index())
+    raw = rng.normal(size=(E, H, W, 1024)).astype(np.float32)  # garbage base
+    pos = np.where(idx >= 0)[0]
+    raw[..., pos] = corr[..., idx[pos]]
+
+    fup = fnet_mod.UpdateModule(dtype=jnp.float32)
+    params = fup.init(
+        jax.random.PRNGKey(0), jnp.asarray(net), jnp.asarray(inp),
+        jnp.asarray(corr), jnp.asarray(flow)
+    )["params"]
+    assert params["corr_encoder_0"]["kernel"].shape == (1, 1, 196, 128)
+    o196 = fup.apply({"params": params}, jnp.asarray(net), jnp.asarray(inp),
+                     jnp.asarray(corr), jnp.asarray(flow))
+    oraw = fup.apply({"params": params}, jnp.asarray(net), jnp.asarray(inp),
+                     jnp.asarray(raw), jnp.asarray(flow))
+    for a, b in zip(o196[:3], oraw[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_extract_features_shapes(rng):

@@ -215,6 +215,12 @@ def main():
         ("v5g8i8", dict(group=8, int8=True)),
         ("v5g16y4", dict(group=16, tile=256, y_sub=4)),
         ("v5g16yt4", dict(group=16, tile=256, y_tab=4)),
+        ("v5g16yt4raw", dict(group=16, tile=256, y_tab=4, raw=True)),
+        # endpoint-equal pair: lookup + first 1x1 of the corr encoder,
+        # reference layout vs raw block layout with a scattered weight
+        ("v5g16yt4enc", dict(group=16, tile=256, y_tab=4, _enc=196)),
+        ("v5g16yt4rawenc",
+         dict(group=16, tile=256, y_tab=4, raw=True, _enc=1024)),
         ("v5g16t512yt4", dict(group=16, tile=512, y_tab=4)),
         ("v5g16yt2", dict(group=16, tile=256, y_tab=2)),
         ("v5g32t512yt4", dict(group=32, tile=512, y_tab=4)),
@@ -230,14 +236,37 @@ def main():
     ):
         if name in want:
             from dbaf_tpu.ops.corr_pallas import (
-                corr_fused_xy_pallas, corr_fused_xyp_pallas,
+                corr_fused_xy_pallas, corr_fused_xyp_pallas, raw_corr_index,
             )
 
             fn = corr_fused_xyp_pallas if name.startswith("v6") else corr_fused_xy_pallas
 
-            def _step(c, kw=kw, fn=fn):
-                out = fn(f1, f2, c, **kw)
-                return c + 1e-3 * (jnp.mean(out) % 1.0)
+            enc = kw.pop("_enc", 0)
+            if enc:
+                w196 = jnp.asarray(
+                    rng.standard_normal((196, 128)), jnp.bfloat16
+                )
+                if enc == 1024:
+                    idx = np.asarray(raw_corr_index())
+                    w_np = np.zeros((1024, 128), np.float32)
+                    w_np[idx >= 0] = np.asarray(
+                        w196.astype(jnp.float32)
+                    )[idx[idx >= 0]]
+                    w_enc = jnp.asarray(w_np, jnp.bfloat16)
+                else:
+                    w_enc = w196
+
+                def _step(c, kw=kw, fn=fn, w_enc=w_enc):
+                    out = fn(f1, f2, c, **kw)
+                    o2 = jnp.einsum(
+                        "ehwc,cf->ehwf", out, w_enc,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return c + 1e-3 * (jnp.mean(o2) % 1.0)
+            else:
+                def _step(c, kw=kw, fn=fn):
+                    out = fn(f1, f2, c, **kw)
+                    return c + 1e-3 * (jnp.mean(out) % 1.0)
 
             slope(name, jax.jit(_step), coords0)
 
