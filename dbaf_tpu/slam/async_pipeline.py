@@ -322,6 +322,16 @@ class AsyncPipeline:
         self.queue: deque = deque()
         self.t1_mirror = 0
         self.active = False
+        # packs pulled per host D2H round trip (one stacked transfer);
+        # clamped so the lagged rollup trigger keeps buffer headroom:
+        # device t1 runs up to lag+batch frames ahead of t1_mirror
+        slack = (
+            self.cfg.buffer - self.cfg.frontend.rollup_start - lag - 3
+        )
+        self.drain_batch = max(
+            1, min(int(getattr(self.cfg.frontend, "async_drain_batch", 1)),
+                   slack)
+        )
 
     # ------------------------------------------------------------------
     def can_activate(self) -> bool:
@@ -395,18 +405,33 @@ class AsyncPipeline:
         self.state = state
         small = np.asarray(image[::8, ::8]).astype(np.uint8)
         self.queue.append((tstamp, small, pack))
-        if len(self.queue) > self.lag:
-            self._drain_one()
-        # rollup check on the lagged mirror (2-frame slack is covered by
-        # the buffer headroom; see frontend rollup_start vs ba.window)
+        if len(self.queue) >= self.lag + self.drain_batch:
+            self._drain(self.drain_batch)
+        # rollup check on the lagged mirror (lag+batch slack is covered
+        # by the buffer headroom; see drain_batch clamp in __init__)
         if self.t1_mirror > self.cfg.frontend.rollup_start:
             self.sync()
             self._host_rollup()
             self.activate()
 
+    def _drain(self, k: int):
+        """Pull ``k`` queued packs in ONE stacked D2H transfer (each
+        separate np.asarray costs a full transport RTT even when the data
+        is long since computed) and apply them in order."""
+        batch = [self.queue.popleft() for _ in range(min(k, len(self.queue)))]
+        if not batch:
+            return
+        if len(batch) == 1:
+            rows = [np.asarray(batch[0][2])]
+        else:
+            rows = np.asarray(jnp.stack([p for _, _, p in batch]))
+        for (tstamp, small, _), pack in zip(batch, rows):
+            self._apply_pack(tstamp, small, pack)
+
     def _drain_one(self):
-        tstamp, small, pack_dev = self.queue.popleft()
-        pack = np.asarray(pack_dev)
+        self._drain(1)
+
+    def _apply_pack(self, tstamp, small, pack):
         admitted = pack[0] > 0.5
         v = self.sys.video
         if admitted:
@@ -432,7 +457,7 @@ class AsyncPipeline:
         """Drain everything and write the device edge state back into the
         host mirrors so the synchronous machinery can resume."""
         while self.queue:
-            self._drain_one()
+            self._drain(len(self.queue))
         st = self.state
         g, v, fe, flt = (
             self.sys.graph, self.sys.video, self.sys.frontend,

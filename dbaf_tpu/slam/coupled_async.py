@@ -21,14 +21,27 @@ device:
   graph re-uploaded per keyframe (pure host data: preintegrations and
   priors never depend on the solve).
 
-Per keyframe the host only ingests sensors, packs the factor blob (one
-H2D), and dispatches -- ZERO pulls in steady state.  Packs stay on
-device; the trajectory rows are device 7-vecs resolved at terminate.
+Per keyframe the host ingests sensors, packs the factor blob (one H2D),
+dispatches, and drains ONE lagged pack (zero pulls when culling is
+disabled and the drain finds nothing to mirror -- the pull itself always
+overlaps compute).  Trajectory rows are device 7-vecs resolved at
+terminate.
 
-Scope (v1): post-VI-init steady state, IMU-only (no GNSS/odo/ZUPT), cull
-thresholds disabled, no save_pkl archival, high-freq output off.  Any
-init/reinit/rollup event drains the pipeline back to the synchronous
-host flow (which remains fully general) and re-enters afterwards.
+Scope: post-VI-init steady state, IMU-only (no GNSS/odo/ZUPT), no
+save_pkl archival, high-freq output off.  Any init/reinit/rollup event
+drains the pipeline back to the synchronous host flow (which remains
+fully general) and re-enters afterwards.
+
+Keyframe CULLING (v2) runs fully inside the pipeline: the in-kernel cull
+decision (coupled_fused.run_coupled_rounds) is applied at the start of
+the NEXT step by the kernel's prev_cull branch (video-row shifts, edge
+re-indexing via cull_transition, factor-window row drop, and an exact
+preintegration-chunk composition repairing the one factor pack the host
+built before learning the cull).  The host mirrors the cull -- the
+MultiSensorState preintegration merge and the fresh-buffer row shifts --
+from a pack pulled with a ONE-step lag, so the ~RTT pull overlaps device
+compute and the pipeline stays full (the step is device-compute-bound at
+~75 ms vs ~30 ms RTT).
 """
 
 from __future__ import annotations
@@ -40,11 +53,91 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fusion import device_graph as dg
+from ..fusion import preint_device as pint
 from ..ops import lie
+from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
 from .coupled_fused import MAX_ROUNDS, run_coupled_rounds
-from .edge_select import edge_transition
+from .edge_select import cull_transition, edge_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive
+
+
+def _shift2_kernel(buf, c):
+    """Rows c+1 -> c and c+2 -> c+1 (the two rows above a culled slot)."""
+    B = buf.shape[0]
+    r1 = jax.lax.dynamic_index_in_dim(
+        buf, jnp.clip(c + 1, 0, B - 1), 0, keepdims=False
+    )
+    buf = jax.lax.dynamic_update_index_in_dim(
+        buf, r1, jnp.clip(c, 0, B - 1), 0
+    )
+    r2 = jax.lax.dynamic_index_in_dim(
+        buf, jnp.clip(c + 2, 0, B - 1), 0, keepdims=False
+    )
+    return jax.lax.dynamic_update_index_in_dim(
+        buf, r2, jnp.clip(c + 1, 0, B - 1), 0
+    )
+
+
+_shift2_jit = jax.jit(_shift2_kernel, donate_argnums=(0,))
+
+
+def _shift2_rows(buf, c: int):
+    """Host-side twin of the kernel's cull row shift for the video
+    buffers the kernel reads fresh per step (jnp device arrays)."""
+    return _shift2_jit(buf, jnp.asarray(c, jnp.int32))
+
+
+def _inv15(M):
+    """Jacobi-scaled f32 inverse of a 15x15 SPD information/covariance
+    block (the IMU information spans ~10 decades; raw f32 inversion loses
+    the small pivots -- same treatment as the device marginalization)."""
+    d = jax.lax.rsqrt(jnp.clip(jnp.diagonal(M), 1e-30, None))
+    S = M * d[:, None] * d[None, :]
+    Sinv = jnp.linalg.inv(S)
+    return Sinv * d[:, None] * d[None, :]
+
+
+def _pg_chunk(pg: dg.PackedGraph, s) -> pint.Chunk:
+    """IMU factor slot ``s`` of a packed graph as a preint Chunk (cov
+    recovered from the packed information)."""
+    return pint.Chunk(
+        dR=pg.imu_dR[s], dv=pg.imu_dv[s], dp=pg.imu_dp[s], dt=pg.imu_dt[s],
+        dRg=pg.imu_dRg[s], dvg=pg.imu_dvg[s], dva=pg.imu_dva[s],
+        dpg=pg.imu_dpg[s], dpa=pg.imu_dpa[s], bias0=pg.imu_bias0[s],
+        cov=_inv15(pg.imu_info[s]),
+    )
+
+
+_PG_CHUNK_FIELDS = (
+    ("imu_dR", "dR"), ("imu_dv", "dv"), ("imu_dp", "dp"), ("imu_dt", "dt"),
+    ("imu_dRg", "dRg"), ("imu_dvg", "dvg"), ("imu_dva", "dva"),
+    ("imu_dpg", "dpg"), ("imu_dpa", "dpa"), ("imu_bias0", "bias0"),
+)
+
+
+def _pg_merge_slot(pg: dg.PackedGraph, s, NW: int) -> dg.PackedGraph:
+    """Merge IMU factor slots ``s`` and ``s+1`` (a keyframe cull joining
+    their intervals) into slot ``s`` via exact chunk composition
+    (fusion/preint_device.compose == the host's sequential re-integration,
+    multi_sensor.py merge_keyframe), shifting the slots above down."""
+    NF = NW - 1
+    C = pint.compose(_pg_chunk(pg, s), _pg_chunk(pg, s + 1))
+    arF = jnp.arange(NF)
+    take = jnp.clip(jnp.where(arF >= s + 1, arF + 1, arF), 0, NF - 1)
+    rep = {}
+    for pg_name, c_name in _PG_CHUNK_FIELDS:
+        arr = getattr(pg, pg_name)
+        arr = arr.at[s].set(getattr(C, c_name).astype(arr.dtype))
+        rep[pg_name] = arr[take]
+    info = pg.imu_info.at[s].set(_inv15(C.cov))
+    rep["imu_info"] = info[take]
+    # slots >= s+1 take their successor's mask (slot NF-1 gathers itself
+    # but is forced dead -- one interval fewer after a merge)
+    rep["imu_mask"] = jnp.where(
+        arF >= s + 1, pg.imu_mask[take] & (arF < NF - 1), pg.imu_mask
+    )
+    return pg._replace(**rep)
 
 
 def _roll_pg(pg: dg.PackedGraph, shift, NW: int) -> dg.PackedGraph:
@@ -129,6 +222,7 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
         prox_d, fg_flat, o_prev,
         mgd_mask, mgd_lin, mgd_H, mgd_v,
         cur_ii, cur_jj, cur_mask, cur_target, cur_weight,
+        prev_cull,
         # per-keyframe upload
         pgf, h0, t1, aux, Tbc12, A,
         rounds_a, rounds_b,
@@ -137,16 +231,140 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
     ):
         mgd = dg.MargDense(mgd_mask, mgd_lin, mgd_H, mgd_v)
         pg_h0 = dg.unflatten_graph(pgf, NW)
+        rows = fg_flat.reshape(NW, 21)
+
+        # ---- 0. deferred cull resolution (the cull decided by the LAST
+        # step's rounds; the host learns it from the lagged pack drain and
+        # has already appended this frame + packed the factor graph from
+        # its pre-merge state, so the kernel applies the whole
+        # rm_keyframe + merge_keyframe transition itself:
+        # frontend.py:416-419 / dbaf_frontend.py:324-353).
+        t1r = t1                     # host keyframe count (pre-cull)
+        c = t1r - 3                  # culled keyframe (pre-cull numbering)
+
+        def _apply_cull(op):
+            (pg_h0, poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             e_net, e_target, e_weight, ii, jj, age, e_valid,
+             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux) = op
+            # (a) repair the uploaded factor pack: the host packed the
+            # culled frame's two IMU intervals separately; compose them
+            # (== the host's merge_keyframe re-integration)
+            pg2 = _pg_merge_slot(pg_h0, c - 1 - h0, NW)
+            # (b) video-row shifts (video.rm_keyframe): exactly two rows
+            # sit above the culled slot -- the previous keyframe and the
+            # just-appended frame.  The host applies the same shift to its
+            # own buffers at drain time, before the next dispatch.
+
+            def shift2(buf):
+                B = buf.shape[0]
+                r1 = jax.lax.dynamic_index_in_dim(
+                    buf, jnp.clip(c + 1, 0, B - 1), 0, keepdims=False
+                )
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, r1, jnp.clip(c, 0, B - 1), 0
+                )
+                r2 = jax.lax.dynamic_index_in_dim(
+                    buf, jnp.clip(c + 2, 0, B - 1), 0, keepdims=False
+                )
+                return jax.lax.dynamic_update_index_in_dim(
+                    buf, r2, jnp.clip(c + 1, 0, B - 1), 0
+                )
+
+            poses = shift2(poses)
+            disps = shift2(disps)
+            disps_sens = shift2(disps_sens)
+            damping = shift2(damping)
+            fmaps_buf = shift2(fmaps_buf)
+            nets_buf = shift2(nets_buf)
+            inps_buf = shift2(inps_buf)
+            # aux leaves indexed by video slot (e.g. the synthetic
+            # oracle's id_map) were uploaded pre-shift too
+            B_ = poses.shape[0]
+            aux = jax.tree_util.tree_map(
+                lambda a: shift2(a)
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_ else a,
+                aux,
+            )
+            # (c) edge re-indexing (graph.rm_keyframe; cull_transition is
+            # fuzz-tested bit-equal to the host scheduler)
+            ct = cull_transition(
+                ii, jj, age, e_valid, ii_i, jj_i, i_valid, c
+            )
+            edges0 = _rebuild_edges(
+                e_net, e_target, e_weight, ct["perm"],
+                jnp.zeros((ii.shape[0],), bool), ct["ii"], ct["jj"],
+                poses, disps, intrinsics, nets_buf.astype(jnp.bfloat16),
+            )
+            t_inac, w_inac = _rebuild_inactive(
+                t_inac, w_inac, ct["inact_perm_old"],
+                jnp.zeros((ii_i.shape[0],), bool),
+                jnp.zeros((ii_i.shape[0],), jnp.int32), e_target, e_weight,
+            )
+            # (d) factor-graph window state: drop the culled row (the
+            # host's merge_keyframe list deletion)
+            rc = c - o_prev
+            arW = jnp.arange(NW)
+            rows = rows[
+                jnp.clip(jnp.where(arW >= rc, arW + 1, arW), 0, NW - 1)
+            ]
+            return (pg2, poses, disps, disps_sens, damping,
+                    fmaps_buf, nets_buf, inps_buf,
+                    edges0.net, edges0.target, edges0.weight,
+                    ct["ii"], ct["jj"], ct["age"], ct["valid"],
+                    t_inac, w_inac, ct["ii_i"], ct["jj_i"], ct["i_valid"],
+                    rows, prox_d, aux)
+
+        (pg_h0, poses, disps, disps_sens, damping,
+         fmaps_buf, nets_buf, inps_buf,
+         e_net, e_target, e_weight, ii, jj, age, e_valid,
+         t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d,
+         aux) = jax.lax.cond(
+            prev_cull, _apply_cull, lambda op: op,
+            (pg_h0, poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             e_net, e_target, e_weight, ii, jj, age, e_valid,
+             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux),
+        )
+        # effective keyframe count; the host's pre-merge bookkeeping
+        # values (last_t0/last_t1, cur_ii/cur_jj) deliberately keep the
+        # raw numbering, replicating the synchronous host flow exactly
+        t1 = t1r - prev_cull.astype(jnp.int32)
 
         # ---- 1. state continuation + IMU pose seed (in-kernel replica of
         # sync_host -> set_pose; the solved window state never left device)
-        rows = fg_flat.reshape(NW, 21)
         k_seed = jnp.clip(t1 - 2 - h0, 0, NW - 2)
         row_prev = rows[jnp.clip(t1 - 2 - o_prev, 0, NW - 1)]
         new_row = _predict_row(row_prev, pg_h0, k_seed, pg_h0.g_vec)
         rows = rows.at[jnp.clip(t1 - 1 - o_prev, 0, NW - 1)].set(new_row)
         poses = poses.at[jnp.clip(t1 - 1, 0, poses.shape[0] - 1)].set(
             _pose7_cw(new_row[:9].reshape(3, 3), new_row[9:12], Tbc12)
+        )
+
+        # ---- 1b. post-cull proximity-distance recompute: the carried
+        # pack was computed pre-shift, so the sync flow invalidates it
+        # (graph.finish_mega) and falls back to a fresh video.distance on
+        # the post-cull poses INCLUDING the new frame's IMU-predicted
+        # pose (frontend.py:341-371 ordering) -- hence after step 1
+        def _fresh_prox(_):
+            t_c = t1
+            pi_ = jnp.repeat(
+                t_c - 5 + jnp.arange(5, dtype=jnp.int32), wf
+            )
+            pj_ = jnp.tile(t_c - wf + jnp.arange(wf, dtype=jnp.int32), 5)
+            if n_skip:
+                sk = jnp.asarray(list(skip), jnp.int32)
+                pi_ = jnp.concatenate([pi_, jnp.full((n_skip,), t_c - 1)])
+                pj_ = jnp.concatenate([pj_, t_c - 5 + sk])
+            B = poses.shape[0]
+            return pj.frame_distance_bidirectional(
+                poses, disps, intrinsics,
+                jnp.clip(pi_, 0, B - 1), jnp.clip(pj_, 0, B - 1),
+                beta=gcfg.beta,
+            )
+
+        prox_d = jax.lax.cond(
+            prev_cull, _fresh_prox, lambda _: prox_d, None
         )
 
         # ---- 2. edge lifecycle on device (frontend.py:269-291 multisensor
@@ -194,7 +412,9 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
         # previous selection's out-of-window edges + factors anchored on
         # the eliminated frames + the old marginal)
         m = t0_c - o_prev
-        last_t1 = t1 - 1
+        # the host stores last_t1 at solve time and does NOT re-number it
+        # on a cull (coupled.py bookkeeping); t1r - 1 reproduces that
+        last_t1 = t1r - 1
         marg_idx = (
             cur_mask & (cur_ii >= o_prev) & (cur_ii < t0_c)
             & (cur_ii < last_t1 - 2) & (cur_jj < last_t1 - 2)
@@ -248,7 +468,8 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
             rounds_a, rounds_b,
             iters=iters, use_inactive=True, use_sens=use_sens,
         )
-        age3 = jnp.where(e_valid2, age2 + rounds_a + rounds_b, age2)
+        rb_run = jnp.where(cull, 0, rounds_b)
+        age3 = jnp.where(e_valid2, age2 + rounds_a + rb_run, age2)
 
         # ---- 8. tail: seed the next incoming slot (video.seed_next) +
         # trajectory row from the decision-time body pose
@@ -280,6 +501,9 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
             mgd_v=mgd2.v,
             cur_ii=ii_full[order], cur_jj=jj_full[order], cur_mask=mask_d,
             cur_target=cur_target2, cur_weight=cur_weight2,
+            # resolved at the start of the NEXT step (and by the host at
+            # its lagged pack drain)
+            prev_cull=cull,
         )
         return state, pack, traj7
 
@@ -300,6 +524,7 @@ _CARRY = (
     "prox_d", "fg_flat", "o_prev",
     "mgd_mask", "mgd_lin", "mgd_H", "mgd_v",
     "cur_ii", "cur_jj", "cur_mask", "cur_target", "cur_weight",
+    "prev_cull",
 )
 
 
@@ -314,6 +539,14 @@ class CoupledAsync:
         self.active = False
         self.steps = 0        # steps since the last activation
         self.total_steps = 0  # lifetime async keyframes
+        self.culls = 0        # lifetime async culls
+        # packs awaiting the lagged drain: [(pack_dev, t1_at_dispatch)].
+        # Culling needs ONE pull per keyframe so the host can mirror the
+        # merge -- but pulled with a one-step lag, AFTER dispatching the
+        # next step, so the ~RTT pull overlaps device compute and the
+        # pipeline stays full (the kernel repairs the one stale upload
+        # via its prev_cull branch).
+        self.pending = []
 
     # ------------------------------------------------------------------
     def can_activate(self) -> bool:
@@ -332,8 +565,16 @@ class CoupledAsync:
             and coupled._fg_state is not None
             and coupled._fg_key == (coupled.last_t0, coupled.last_t1)
             and coupled.cur_target is not None
-            # v1 scope gates
-            and fc.keyframe_thresh < 0 and fc.translation_threshold < 0
+            # the last sync keyframe must NOT have culled: after a cull the
+            # host keeps _fg_state/cur_ii/cur_jj/last_t1 in pre-cull
+            # numbering (the next sync solve repacks from the merged host
+            # state), so snapshotting them raw against the post-cull
+            # video/edge stores would skew every row index by one.  Wait
+            # for the next non-culled keyframe instead.
+            and fe.t1 == coupled.last_t1
+            # scope gates (culling is fully supported: in-kernel
+            # decision + deferred prev_cull transition + lagged host
+            # mirror -- v2)
             and len(fe.all_gnss) == 0 and len(fe.all_odo) == 0
             and not fe.use_zupt and fe.all_stamp is None
             and not cfg.save_pkl and not cfg.stereo
@@ -397,9 +638,12 @@ class CoupledAsync:
             cur_ii=jnp.asarray(cur_ii), cur_jj=jnp.asarray(cur_jj),
             cur_mask=jnp.asarray(np.arange(e_all) < nsel),
             cur_target=coupled.cur_target, cur_weight=coupled.cur_weight,
+            prev_cull=jnp.asarray(False),
         )
         self.active = True
         self.steps = 0
+        self.pending.clear()
+        self._last_t1 = fe.t1  # == coupled.last_t1 (can_activate gate)
 
     # ------------------------------------------------------------------
     def step(self, cur_t: float):
@@ -438,6 +682,17 @@ class CoupledAsync:
         v.disps = state["disps"]
         g.edges = EdgeArrays(state["e_net"], state["e_target"],
                              state["e_weight"])
+        # lagged pack drain (one pull/keyframe; overlaps this dispatch's
+        # device compute): mirror the PREVIOUS step's cull into the host
+        # bookkeeping before the next pack is built
+        self.pending.append((pack, t1))
+        if len(self.pending) > 1:
+            self._drain_one()
+        # effective solve-time keyframe count for sync(): when the kernel
+        # resolved a lagged cull this step (prev_cull branch), the drain
+        # above just mirrored it into fe.t1, so fe.t1 == the count the
+        # solve actually ran at
+        self._last_t1 = fe.t1
         # pack stays on device; layout matches the fused pull
         # ([cull, d, prox | hyst(7) | state(NW*21) | wtb(12) | t0_c])
         # so any lazy host consumer parses it correctly
@@ -452,6 +707,39 @@ class CoupledAsync:
         fe.trajectory.append((cur_t, traj7))
 
     # ------------------------------------------------------------------
+    def _drain_one(self):
+        pack_dev, _t1_at = self.pending.pop(0)
+        pack = np.asarray(pack_dev)
+        if pack[0] > 0.5:
+            # the culled frame is ALWAYS the third-newest at drain time:
+            # the cull removed the then-second-newest keyframe, exactly
+            # one frame has been appended since (lag 1), and drains are
+            # strictly ordered -- robust across consecutive culls
+            self._host_apply_cull(self.fe.t1 - 3)
+
+    def _host_apply_cull(self, c: int):
+        """Mirror a device-decided cull (of keyframe ``c``, numbering at
+        its decision time) into the host state: the preintegration merge
+        (multi_sensor.merge_keyframe == frontend.py:416-419) plus the
+        video-row shifts for the buffers the kernel reads fresh per step.
+        poses/disps/edge stores are carried device-side -- the kernel's
+        own prev_cull branch shifted those already."""
+        fe = self.fe
+        v = fe.video
+        for name in ("disps_sens", "damping", "fmaps", "nets", "inps"):
+            buf = getattr(v, name, None)
+            if buf is not None:
+                setattr(v, name, _shift2_rows(buf, c))
+        n = fe.t1
+        v.tstamp[c: n - 1] = v.tstamp[c + 1: n]
+        if getattr(v, "images_small", None) is not None:
+            v.images_small[c: n - 1] = v.images_small[c + 1: n]
+        fe.coupled.state.merge_keyframe(c)
+        fe.t1 -= 1
+        v.counter = fe.t1
+        self.culls += 1
+
+    # ------------------------------------------------------------------
     def sync(self):
         """Drain: ONE pack pull restores every host mirror; the device
         edge/video state is handed back to the synchronous machinery."""
@@ -462,7 +750,18 @@ class CoupledAsync:
         cfg = self.cfg
         NW = cfg.sensors.fg_cap
         st = self.state
-        t1 = fe.t1
+        # solve-time keyframe count: all carried state is numbered at the
+        # LAST step's t1.  fe.t1 equals it when draining between frames
+        # (drain_async/terminate) but is one higher when the drain fires
+        # from inside _update (rollup/reinit), where the new frame was
+        # already appended and ingested.
+        t1 = self._last_t1
+        in_flight = fe.t1 - t1  # 0 or 1
+        # the one still-pending pack is the LAST step's; its cull flag is
+        # the carried prev_cull, resolved wholesale below -- never via
+        # _drain_one (the device state has not applied it either)
+        self.pending.clear()
+        pend_cull = bool(np.asarray(st["prev_cull"]))
 
         n = int(np.sum(np.asarray(st["e_valid"])))
         ni = int(np.sum(np.asarray(st["i_valid"])))
@@ -480,12 +779,24 @@ class CoupledAsync:
 
         o = int(np.asarray(st["o_prev"]))
         coupled.last_t0 = o
+        # last_t1 keeps the pre-cull numbering, replicating the host flow
+        # (coupled.py stores it at solve time and never re-numbers it)
         coupled.last_t1 = t1
-        coupled._fg_state = st["fg_flat"]
-        coupled._fg_key = (o, t1)
+        fg_flat = st["fg_flat"]
+        if pend_cull:
+            # drop the culled window row (the host merge_keyframe list
+            # deletion) so sync_host maps rows onto the merged state
+            rows = np.asarray(jax.device_get(fg_flat)).reshape(NW, 21)
+            rows[t1 - 2 - o: -1] = rows[t1 - 1 - o:]
+            coupled._fg_rows_np = rows.reshape(-1)
+            coupled._fg_key = (o, t1 - 1)
+            coupled._fg_state = jnp.asarray(rows.reshape(-1), jnp.float32)
+        else:
+            coupled._fg_state = fg_flat
+            coupled._fg_key = (o, t1)
         coupled._fg_synced = False
-        coupled._fg_rows_np = None
-        coupled.sync_host()
+        if not pend_cull:
+            coupled._fg_rows_np = None
         coupled._marg_dev = dg.MargDense(
             st["mgd_mask"], st["mgd_lin"], st["mgd_H"], st["mgd_v"]
         )
@@ -495,5 +806,38 @@ class CoupledAsync:
         coupled.cur_jj = np.asarray(st["cur_jj"])[:nsel].astype(np.int64)
         coupled.cur_target = st["cur_target"]
         coupled.cur_weight = st["cur_weight"]
+        if pend_cull:
+            # the device never resolved its own last cull (it would have
+            # at the start of the next step): finish it host-side --
+            # exactly the synchronous flow's post-mega cull block
+            # (frontend.py:416-419)
+            c = t1 - 2
+            g.rm_keyframe(c)              # edges + video-row shifts
+            if in_flight:
+                # a frame appended after the last step sits one above the
+                # culled window top; rm_keyframe shifted only row c+1
+                v.copy_row(c + 1, c + 2)
+            coupled.state.merge_keyframe(c)
+            fe.t1 -= 1
+            v.counter = fe.t1
+            v.seed_next(fe.t1)
+            g._host_pack_t1 = -(10 ** 6)  # prox pack is pre-shift
+            self.culls += 1
+        coupled.sync_host()
+        if in_flight:
+            # the in-flight frame's host state was IMU-propagated (by
+            # append_img) from mirrors that were stale while the pipeline
+            # ran; re-predict it from the just-restored last solved state
+            # so the synchronous flow's pose seed (frontend.py:341-347)
+            # matches what a pure-sync run would use
+            from ..fusion.preintegration import NavState
+
+            ms = coupled.state
+            pim = ms.preintegrations[-2]
+            prev = NavState(ms.wTbs[-2], ms.vs[-2])
+            prop = prev if pim.dt > 1.0 else pim.predict(prev, ms.bs[-2])
+            ms.wTbs[-1] = prop.pose
+            ms.vs[-1] = prop.vel
+            ms.bs[-1] = ms.bs[-2].copy()
         self.active = False
         self.state = None

@@ -124,20 +124,22 @@ class MultiSensorState:
     # ------------------------------------------------------------------
     def merge_keyframe(self, idx: int):
         """Merge preintegration[idx] into [idx-1] when keyframe idx is
-        culled (dbaf_frontend.py:328-353)."""
+        culled (dbaf_frontend.py:328-353).
+
+        List deletion generalizes the reference's slot-swap (which assumes
+        the culled frame is the second-newest); the async coupled pipeline
+        mirrors culls with a one-step lag, by which time one more frame
+        has been appended."""
         for dd in self.preintegrations_meas[idx]:
             if dd[2] > 0:
                 self.preintegrations[idx - 1].integrate(dd[0], dd[1], dd[2])
             self.preintegrations_meas[idx - 1].append(dd)
-        self.preintegrations[idx] = self.preintegrations[idx + 1]
-        self.preintegrations_meas[idx] = self.preintegrations_meas[idx + 1]
-        self.preintegrations.pop()
-        self.preintegrations_meas.pop()
+        del self.preintegrations[idx]
+        del self.preintegrations_meas[idx]
         for lst in (self.wTbs, self.bs, self.vs, self.gnss_valid,
                     self.gnss_position, self.odo_valid, self.odo_vel,
                     self.timestamps):
-            lst[idx] = lst[idx + 1]
-            lst.pop()
+            del lst[idx]
 
     def rollup(self, roll: int):
         """Drop the first ``roll`` states (dbaf_frontend.py:143-151)."""

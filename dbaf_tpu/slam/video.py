@@ -270,6 +270,20 @@ class DepthVideo:
         self.images_small[ix] = self.images_small[ix + 1]
         self.counter -= 1
 
+    def copy_row(self, dst: int, src: int):
+        """Copy every per-frame buffer row src -> dst (one fused dispatch
+        for the device slabs).  Used by the async coupled drain to shift
+        an in-flight frame below a lazily-applied cull."""
+        out = _copy_row_all(
+            self.poses, self.disps, self.disps_sens, self.damping,
+            self.fmaps, self.nets, self.inps, self.fmaps_right, self.disps_up,
+            jnp.asarray(dst, jnp.int32), jnp.asarray(src, jnp.int32),
+        )
+        (self.poses, self.disps, self.disps_sens, self.damping, self.fmaps,
+         self.nets, self.inps, self.fmaps_right, self.disps_up) = out
+        self.tstamp[dst] = self.tstamp[src]
+        self.images_small[dst] = self.images_small[src]
+
     def archive(self, ix: int):
         """Host-side save-buffer append for a marginalized keyframe."""
         if not self.cfg.save_pkl:

@@ -64,6 +64,12 @@ class FrontendConfig:
     # dispatch/frame, host packs drained with a 2-frame lag); visual-only
     # configs, culling supported (in-kernel shifts; async == sync tested
     # in tests/test_async_pipeline.py) (slam/async_pipeline.py)
+    async_drain_batch: int = 8       # per-frame packs pulled per host D2H
+    # round trip (stacked into one transfer).  Each pull costs a full
+    # transport RTT (~25-30 ms on axon) even when the pack is ready, so
+    # per-frame drains floor cheap (gate-rejected) frames at the RTT;
+    # batching B packs amortizes it to RTT/B.  Clamped at activation so
+    # the lagged rollup trigger keeps buffer headroom.
     monitor_dir: str = ""            # when set, dump the reference's live
     # monitor panels + debug views as PNGs there (dbaf_frontend.py:76-83,
     # 278-314; covisible_graph.py:252-307); forces the synchronous paths
@@ -119,13 +125,15 @@ class SensorConfig:
     coupled_mega: bool = True
     # fully device-resident coupled pipeline (slam/coupled_async.py):
     # in-kernel edge lifecycle + state continuation/pose seed + window
-    # marginalization -- ZERO host pulls per keyframe in steady state.
-    # Activates post-VI-init for IMU-only no-cull configs (thresholds < 0,
-    # no GNSS/odo/ZUPT, no save_pkl); init/reinit/rollup events drain back
-    # to the synchronous flow.  Preintegrations are linearized at the
-    # previous keyframe's bias (one solve older than the sync flow); the
-    # factor's first-order bias correction absorbs the difference --
-    # trajectory parity is covered by tests/test_coupled_async.py.
+    # marginalization + keyframe culling (in-kernel decision, deferred
+    # prev_cull transition, lagged one-pull-per-keyframe host mirror that
+    # overlaps device compute).  Activates post-VI-init for IMU-only
+    # configs (no GNSS/odo/ZUPT, no save_pkl); init/reinit/rollup events
+    # drain back to the synchronous flow.  Preintegrations are linearized
+    # at the previous keyframe's bias (one solve older than the sync
+    # flow); the factor's first-order bias correction absorbs the
+    # difference -- trajectory parity incl. culls is covered by
+    # tests/test_coupled_async.py.
     coupled_async: bool = True
     fg_cap: int = 20                 # static factor-graph window capacity
 

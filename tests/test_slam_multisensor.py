@@ -233,6 +233,10 @@ def test_coupled_cull_hysteresis_parity(rollup):
                        active_window=8 if rollup else 12)
         cfg.sensors.device_solver = True
         cfg.sensors.coupled_mega = variant == "mega"
+        # three SYNCHRONOUS implementations must agree exactly; the async
+        # pipeline (own parity suite: tests/test_coupled_async.py) would
+        # otherwise activate on the mega variant and skew the host mirrors
+        cfg.sensors.coupled_async = False
         cfg.frontend.translation_threshold = 0.35  # triggers on this scene
         h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
                       imu_rows)

@@ -1,0 +1,172 @@
+"""Per-stage wall breakdown of the coupled-async keyframe step on TPU.
+
+Replicates bench.py::bench_coupled (real network rounds guided by the
+synthetic oracle, device solver, coupled mega + async pipeline) and
+reports, over the measured window:
+
+  host_pack  : pack_graph_flat numpy time per keyframe
+  dispatch   : kernel-call wall (enqueue; includes H2D of the ~KB pack)
+  feed_other : frontend ingestion + bookkeeping around the dispatch
+  pipelined  : steady-state wall per keyframe (bench number)
+  settled    : wall per keyframe with a blocking scalar pull after each
+               step (device compute + RTT; device cost ~= settled - RTT)
+
+Usage: python tools/profile_casync.py [n_meas]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbaf_tpu.utils.jax_setup import setup
+
+setup()
+
+import jax
+import jax.numpy as jnp
+
+HT, WD = 384, 512
+H8, W8 = HT // 8, WD // 8
+
+
+def build(n):
+    import bench
+
+    from dbaf_tpu.eval.synthetic import (
+        make_oracle, scene_from_poses, simulate_imu_and_poses,
+    )
+    from dbaf_tpu.fusion.se3np import Pose
+    from dbaf_tpu.models import DroidNet
+    from dbaf_tpu.slam.coupled import MultiSensorBA
+    from dbaf_tpu.slam.frontend import Frontend
+    from dbaf_tpu.slam.graph import CovisibleGraph
+    from dbaf_tpu.slam.video import DepthVideo
+    from dbaf_tpu.utils.config import tumvi_config
+
+    fps = 10.0
+    intr = np.asarray([2.0 * W8, 2.0 * W8, W8 / 2, H8 / 2], np.float32)
+    imu_rows, poses_at = simulate_imu_and_poses(n / fps + 0.5, fps=fps)
+    gt_cw, gt_disps = scene_from_poses(poses_at, n, intr, H8, W8)
+
+    cfg = tumvi_config()
+    cfg.buffer = n + 8
+    cfg.ba.window = n + 4
+    cfg.frontend.vi_warmup = 12
+    cfg.frontend.keyframe_thresh = -1.0
+    cfg.frontend.translation_threshold = -1.0
+    cfg.frontend.rollup_start = 1000
+    cfg.graph.edge_capacity = 48
+    cfg.sensors.device_solver = True
+    cfg.sensors.coupled_mega = True
+
+    model = DroidNet()
+    params = bench._make_params(model, jax, jnp)
+    oracle = make_oracle(jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr)
+
+    def update_fn(net, inp, corr, motn, ii, jj, aux):
+        net2, delta, weight, _, _ = model.apply(
+            {"params": params}, None, net, inp, corr, motn
+        )
+        _, d_o, w_o = oracle(net, inp, corr, motn, ii, jj, aux)
+        return net2, d_o + delta * 1e-30, w_o + weight * 1e-30
+
+    video = DepthVideo(cfg)
+    graph = CovisibleGraph(video, update_fn, cfg)
+    coupled = MultiSensorBA(video, cfg)
+    coupled.Tbc = Pose()
+    coupled.state.set_imu_params([0.05, 0.005, 1e-4, 1e-6])
+    graph.coupled = coupled
+    frontend = Frontend(video, graph, cfg)
+    frontend.set_multisensor(imu_rows, visual_only=False)
+    return cfg, video, graph, frontend, fps
+
+
+def main():
+    n_meas = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    n_warm = 18
+    n = n_warm + n_meas
+
+    cfg, video, graph, frontend, fps = build(n)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((3, H8, W8, 128)), jnp.bfloat16)
+    id_map = np.zeros(cfg.buffer, dtype=np.int32)
+    intr8 = jnp.asarray(
+        np.asarray([2.0 * W8, 2.0 * W8, W8 / 2, H8 / 2], np.float32)
+    )
+
+    import dbaf_tpu.fusion.device_graph as dg
+
+    pack_t = []
+    orig_pack = dg.pack_graph_flat
+
+    def timed_pack(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_pack(*a, **k)
+        pack_t.append(time.perf_counter() - t0)
+        return out
+
+    dg.pack_graph_flat = timed_pack
+    import dbaf_tpu.slam.coupled_async as ca
+    ca.dg.pack_graph_flat = timed_pack
+
+    disp_t = []
+
+    def feed(k):
+        idx = video.counter
+        video.append(k / fps, None, None, None, None, intr8,
+                     feats[0], feats[1], feats[2])
+        id_map[idx] = k
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+        t0 = time.perf_counter()
+        frontend()
+        disp_t.append(time.perf_counter() - t0)
+        id_map[: video.counter] = np.round(
+            video.tstamp[: video.counter] * fps
+        ).astype(np.int32)
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+
+    def settle():
+        cao = frontend._casync
+        poses = (cao.state["poses"] if cao is not None and cao.active
+                 else video.poses)
+        return float(jnp.sum(poses.astype(jnp.float32)))
+
+    for k in range(n_warm):
+        feed(k)
+    settle()
+    assert video.imu_enabled, "VI init did not trigger"
+    print(f"warm done; casync active: "
+          f"{frontend._casync is not None and frontend._casync.active}",
+          flush=True)
+
+    pack_t.clear()
+    disp_t.clear()
+    t0 = time.time()
+    for k in range(n_warm, n):
+        feed(k)
+    settle()
+    dt = (time.time() - t0) / n_meas
+    fe_wall = float(np.mean(disp_t)) if disp_t else 0.0
+    pk = float(np.mean(pack_t)) * 1e3 if pack_t else 0.0
+    print(f"pipelined  {dt * 1e3:8.2f} ms/kf", flush=True)
+    print(f"frontend() {fe_wall * 1e3:8.2f} ms/kf  (host pack {pk:.2f} ms)",
+          flush=True)
+
+    # settled mode: blocking pull after every step isolates device+RTT
+    pack_t.clear()
+    ts = []
+    for k in range(n, n + 8):
+        t0 = time.time()
+        feed(k)
+        settle()
+        ts.append(time.time() - t0)
+    print(f"settled    {float(np.mean(ts)) * 1e3:8.2f} ms/kf "
+          f"(+RTT; min {min(ts) * 1e3:.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
