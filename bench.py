@@ -145,6 +145,7 @@ def bench_visual(mode: str):
         if system._async is not None and system._async.active
         else system.frontend.t1
     )
+    rolls_before = system.frontend.rollup_count
 
     t0 = time.time()
     for k in range(n_warm, n_warm + n_meas):
@@ -160,7 +161,12 @@ def bench_visual(mode: str):
         t1_after = system.frontend.t1
     dt = time.time() - t0
 
-    kept = max(t1_after - t1_before, 0)
+    # in-window rollups shift t1 down by rollup_shift each; add them back
+    # so `kept` counts admissions net of culls only
+    rolls = system.frontend.rollup_count - rolls_before
+    kept = max(
+        t1_after - t1_before + rolls * cfg.frontend.rollup_shift, 0
+    )
     return dict(kf_per_sec=n_meas / dt, frames_per_sec=n_meas / dt,
                 kept=kept, frames=n_meas)
 

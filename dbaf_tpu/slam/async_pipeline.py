@@ -15,12 +15,18 @@ cull decided by one step's rounds resolves at the start of the NEXT
 step (a deferred `prev_cull` flag mirroring frontend._pending_t1), via
 a lax.cond branch that shifts the buffer rows, re-seeds, re-indexes
 both edge stores (edge_select.cull_transition), and recomputes the
-proximity distances on the shifted state.  Rollup is handled by
-draining the pipeline, running the existing host rollup, and
-re-entering async mode.  The reference semantics of every step are
-unchanged -- the same admission, selection, dedup, eviction, cull,
-rounds, and seeding run, just on device (covisible_graph.py:180-211,
-357-441, dbaf_frontend.py:153-375).
+proximity distances on the shifted state.  Rollup ALSO runs in-kernel
+(it is pure index bookkeeping, dbaf_frontend.py:253-257): when the
+admitted count crosses ``rollup_start`` the step rolls every carried
+buffer by ``rollup_shift`` rows and re-indexes both edge stores, in
+the same position the synchronous flow does it (after edge selection,
+before the update rounds); the host mirrors the shift from the lagged
+pack flag.  The pipeline never drains for a rollup -- only for
+terminate/save_state (and under save_pkl, where rollup must archive
+marginalized rows host-side).  The reference semantics of every step
+are unchanged -- the same admission, selection, dedup, eviction, cull,
+rollup, rounds, and seeding run, just on device
+(covisible_graph.py:180-211, 357-441, dbaf_frontend.py:153-375).
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ import numpy as np
 from ..ops import corr as corr_ops
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
-from .edge_select import cull_transition, edge_transition
+from .edge_select import _stable_compact, cull_transition, edge_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive, \
     make_update_kernel
 
@@ -73,7 +79,7 @@ def make_step_kernel(
         bad_ii, bad_jj, bad_valid,
         kf_fmap, kf_net, kf_inp,
         t1, prox_d, prev_cull,
-        rounds_a, rounds_b,
+        rounds_a, rounds_b, roll_start, roll_shift,
     ):
         # ---- deferred cull bookkeeping from the previous step
         # (frontend.resolve_pending: rm_keyframe + seed + fresh distances).
@@ -237,6 +243,73 @@ def make_step_kernel(
             poses, disps, intrinsics, nets_buf.astype(jnp.bfloat16),
         )
 
+        # ---- in-kernel rollup (dbaf_frontend.py:253-257 / video.rollup +
+        # graph.shift_indices): pure index bookkeeping, applied in the
+        # synchronous flow's position -- after edge selection, before the
+        # update rounds (frontend._update_visual_fused).  The host mirrors
+        # the tstamp/images shift from the lagged pack flag; the pipeline
+        # never drains for a rollup.
+        do_roll = t1n > roll_start
+        I = ii_i.shape[0]
+        bcn = bad_ii.shape[0]
+
+        def _apply_roll(op):
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             ii2, jj2, ii_i2, jj_i2, i_valid2,
+             bad_ii, bad_jj, bad_valid, t_inac, w_inac, t1n) = op
+            r = roll_shift
+            roll = lambda b: jnp.roll(b, -r, axis=0)
+            poses, disps, disps_sens, damping = (
+                roll(poses), roll(disps), roll(disps_sens), roll(damping))
+            fmaps_buf, nets_buf, inps_buf = (
+                roll(fmaps_buf), roll(nets_buf), roll(inps_buf))
+            # active edges only re-index: the visual stale rule (age AND
+            # window) lets negative indices survive; kernels clip them
+            # (graph.shift_indices)
+            ii2 = ii2 - r
+            jj2 = jj2 - r
+            # inactive store: drop rows going negative + compact
+            keep = i_valid2 & (ii_i2 >= r) & (jj_i2 >= r)
+            pos, n_k = _stable_compact(keep)
+            tgt = jnp.where(keep, pos, I + 1)
+            ar_i = jnp.arange(I, dtype=jnp.int32)
+            new_ii_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                (ii_i2 - r).astype(jnp.int32), mode="drop")
+            new_jj_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                (jj_i2 - r).astype(jnp.int32), mode="drop")
+            perm_old = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                ar_i, mode="drop")
+            t_inac, w_inac = _rebuild_inactive(
+                t_inac, w_inac, perm_old, jnp.zeros((I,), bool),
+                jnp.zeros((I,), jnp.int32), edges.target, edges.weight)
+            i_valid2 = ar_i < n_k
+            # bad-edge store: drop negatives + compact
+            keep_b = bad_valid & (bad_ii >= r) & (bad_jj >= r)
+            pos_b, n_b = _stable_compact(keep_b)
+            tgt_b = jnp.where(keep_b, pos_b, bcn + 1)
+            ar_b = jnp.arange(bcn, dtype=jnp.int32)
+            bad_ii = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+                (bad_ii - r).astype(jnp.int32), mode="drop")
+            bad_jj = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+                (bad_jj - r).astype(jnp.int32), mode="drop")
+            bad_valid = ar_b < n_b
+            return (poses, disps, disps_sens, damping,
+                    fmaps_buf, nets_buf, inps_buf,
+                    ii2, jj2, new_ii_i, new_jj_i, i_valid2,
+                    bad_ii, bad_jj, bad_valid, t_inac, w_inac, t1n - r)
+
+        (poses, disps, disps_sens, damping,
+         fmaps_buf, nets_buf, inps_buf,
+         ii2, jj2, ii_i2, jj_i2, i_valid2,
+         bad_ii, bad_jj, bad_valid, t_inac, w_inac, t1n) = jax.lax.cond(
+            do_roll, _apply_roll, lambda op: op,
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf,
+             ii2, jj2, ii_i2, jj_i2, i_valid2,
+             bad_ii, bad_jj, bad_valid, t_inac, w_inac, t1n),
+        )
+
         # ---- update rounds (the mega body, 0 rounds when not admitted)
         big = jnp.int32(10**6)
         t0r = jnp.maximum(
@@ -266,10 +339,12 @@ def make_step_kernel(
         rb_run = jnp.where(cull, 0, rb)
         age3 = jnp.where(e_valid2, age2 + ra + rb_run, age2)
 
-        # pack: [admitted, delta, cull_flag, d_cull, traj(7), prox...]
+        # pack: [admitted, delta, cull_flag, d_cull, roll_flag, traj(7),
+        # prox...]
         pack = jnp.concatenate([
             jnp.asarray([adm_f, delta_mag]),
             res.host_pack[:2],
+            do_roll.astype(jnp.float32)[None],
             traj_row.astype(jnp.float32),
             res.host_pack[2:],
         ])
@@ -322,16 +397,26 @@ class AsyncPipeline:
         self.queue: deque = deque()
         self.t1_mirror = 0
         self.active = False
-        # packs pulled per host D2H round trip (one stacked transfer);
-        # clamped so the lagged rollup trigger keeps buffer headroom:
-        # device t1 runs up to lag+batch frames ahead of t1_mirror
-        slack = (
-            self.cfg.buffer - self.cfg.frontend.rollup_start - lag - 3
+        # save_pkl must archive marginalized rows host-side at rollup, so
+        # it keeps the drain->host-rollup->re-enter path; everything else
+        # rolls in-kernel (the kernel sees an unreachable trigger when
+        # archival is on)
+        self.host_rollup = bool(getattr(self.cfg, "save_pkl", False))
+        self._roll_start = (
+            10 ** 9 if self.host_rollup else self.cfg.frontend.rollup_start
         )
-        self.drain_batch = max(
-            1, min(int(getattr(self.cfg.frontend, "async_drain_batch", 1)),
-                   slack)
-        )
+        # packs pulled per host D2H round trip (one stacked transfer).
+        # Host-rollup mode: clamped so the lagged rollup trigger keeps
+        # buffer headroom (device t1 runs up to lag+batch frames ahead of
+        # t1_mirror).  Device-rollup mode: t1 is bounded by the in-kernel
+        # roll itself, no clamp needed.
+        batch = int(getattr(self.cfg.frontend, "async_drain_batch", 1))
+        if self.host_rollup:
+            slack = (
+                self.cfg.buffer - self.cfg.frontend.rollup_start - lag - 3
+            )
+            batch = min(batch, slack)
+        self.drain_batch = max(1, batch)
 
     # ------------------------------------------------------------------
     def can_activate(self) -> bool:
@@ -401,15 +486,18 @@ class AsyncPipeline:
             img, *args,
             jnp.asarray(self.cfg.frontend.iters1, jnp.int32),
             jnp.asarray(self.cfg.frontend.iters2, jnp.int32),
+            jnp.asarray(self._roll_start, jnp.int32),
+            jnp.asarray(self.cfg.frontend.rollup_shift, jnp.int32),
         )
         self.state = state
         small = np.asarray(image[::8, ::8]).astype(np.uint8)
         self.queue.append((tstamp, small, pack))
         if len(self.queue) >= self.lag + self.drain_batch:
             self._drain(self.drain_batch)
-        # rollup check on the lagged mirror (lag+batch slack is covered
-        # by the buffer headroom; see drain_batch clamp in __init__)
-        if self.t1_mirror > self.cfg.frontend.rollup_start:
+        # save_pkl only: rollup check on the lagged mirror (lag+batch
+        # slack is covered by the buffer headroom; see drain_batch clamp)
+        if self.host_rollup and \
+                self.t1_mirror > self.cfg.frontend.rollup_start:
             self.sync()
             self._host_rollup()
             self.activate()
@@ -434,13 +522,23 @@ class AsyncPipeline:
     def _apply_pack(self, tstamp, small, pack):
         admitted = pack[0] > 0.5
         v = self.sys.video
+        fe = self.sys.frontend
         if admitted:
             idx = self.t1_mirror
             if idx < len(v.tstamp):
                 v.tstamp[idx] = tstamp
                 v.images_small[idx] = small
             self.t1_mirror += 1
-            self.sys.frontend.trajectory.append((tstamp, pack[4:11]))
+            fe.trajectory.append((tstamp, pack[5:12]))
+        if pack[4] > 0.5:
+            # in-kernel rollup this step: mirror the host-side buffers
+            # (video.rollup's tstamp/image shift; no archival -- save_pkl
+            # configs use the host-rollup path instead)
+            roll = self.cfg.frontend.rollup_shift
+            v.tstamp = np.roll(v.tstamp, -roll)
+            v.images_small = np.roll(v.images_small, -roll, axis=0)
+            self.t1_mirror -= roll
+            fe.rollup_count += 1
         if pack[2] > 0.5:
             # this step decided to cull keyframe t1-2; mirror the host
             # tstamp/image shift (video.rm_keyframe) so later admissions

@@ -28,9 +28,16 @@ overlaps compute).  Trajectory rows are device 7-vecs resolved at
 terminate.
 
 Scope: post-VI-init steady state, IMU-only (no GNSS/odo/ZUPT), no
-save_pkl archival, high-freq output off.  Any init/reinit/rollup event
-drains the pipeline back to the synchronous host flow (which remains
-fully general) and re-enters afterwards.
+save_pkl archival, high-freq output off.  Only init/reinit events drain
+the pipeline back to the synchronous host flow (which remains fully
+general); ROLLUP runs in-kernel (v3): the step kernel itself decides
+``t1 > rollup_start`` (sync semantics, post-cull count), rolls the
+video buffers and re-bases every absolute frame index -- the factor
+pack, fg state rows, marginal prior, and prox distances are
+origin-relative or shift-invariant and stay untouched -- and the host
+replays the identical decision right after its lagged drain, before the
+next pack is built.  The fg state never leaves device across a rollup,
+which removes the round-3 drain/re-enter transient at its root.
 
 Keyframe CULLING (v2) runs fully inside the pipeline: the in-kernel cull
 decision (coupled_fused.run_coupled_rounds) is applied at the start of
@@ -58,7 +65,7 @@ from ..ops import lie
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
 from .coupled_fused import MAX_ROUNDS, run_coupled_rounds
-from .edge_select import cull_transition, edge_transition
+from .edge_select import _stable_compact, cull_transition, edge_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive
 
 
@@ -225,7 +232,7 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
         prev_cull,
         # per-keyframe upload
         pgf, h0, t1, aux, Tbc12, A,
-        rounds_a, rounds_b,
+        rounds_a, rounds_b, roll_start, roll_shift,
         # static
         iters: int, use_sens: bool,
     ):
@@ -389,6 +396,89 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
             poses, disps, intrinsics, nets_buf.astype(jnp.bfloat16),
         )
         ii_i2, jj_i2, i_valid2 = tr["ii_i"], tr["jj_i"], tr["i_valid"]
+
+        # ---- 2b. in-kernel rollup (dbaf_frontend.py:253-257; sync order:
+        # after edge selection, before window selection/marg/rounds,
+        # frontend.py rollup block).  Pure index bookkeeping: the factor
+        # pack, fg rows, marginal and prox distances are origin-relative
+        # or shift-invariant, so only video buffers roll and absolute
+        # frame indices re-base.  The host replays the same decision
+        # (fe.t1 post-drain > rollup_start) right after its lagged drain,
+        # before the next step's pack is built, so no flag travels.
+        do_roll = t1 > roll_start
+        shift = jnp.where(do_roll, roll_shift, 0).astype(jnp.int32)
+
+        def _apply_roll(op):
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf, aux,
+             ii_i2, jj_i2, i_valid2, bad_ii, bad_jj, bad_valid,
+             t_inac2, w_inac2) = op
+            r = roll_shift
+            rollb = lambda b: jnp.roll(b, -r, axis=0)
+            poses, disps = rollb(poses), rollb(disps)
+            disps_sens, damping = rollb(disps_sens), rollb(damping)
+            fmaps_buf, nets_buf, inps_buf = (
+                rollb(fmaps_buf), rollb(nets_buf), rollb(inps_buf))
+            B_ = poses.shape[0]
+            aux = jax.tree_util.tree_map(
+                lambda a: rollb(a)
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_ else a,
+                aux,
+            )
+            # inactive store: drop rows going negative + compact
+            # (graph.shift_indices); active edges stay nonnegative by the
+            # config rule rollup_start - rollup_shift >= active_window
+            # (checked at activation)
+            I = ii_i2.shape[0]
+            keep = i_valid2 & (ii_i2 >= r) & (jj_i2 >= r)
+            pos, n_k = _stable_compact(keep)
+            tgt = jnp.where(keep, pos, I + 1)
+            ar_i = jnp.arange(I, dtype=jnp.int32)
+            new_ii_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                (ii_i2 - r).astype(jnp.int32), mode="drop")
+            new_jj_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                (jj_i2 - r).astype(jnp.int32), mode="drop")
+            perm_old = jnp.zeros((I,), jnp.int32).at[tgt].set(
+                ar_i, mode="drop")
+            t_inac2, w_inac2 = _rebuild_inactive(
+                t_inac2, w_inac2, perm_old, jnp.zeros((I,), bool),
+                jnp.zeros((I,), jnp.int32), edges.target, edges.weight)
+            i_valid2 = ar_i < n_k
+            # bad store: drop negatives + compact
+            bcn = bad_ii.shape[0]
+            keep_b = bad_valid & (bad_ii >= r) & (bad_jj >= r)
+            pos_b, n_b = _stable_compact(keep_b)
+            tgt_b = jnp.where(keep_b, pos_b, bcn + 1)
+            ar_b = jnp.arange(bcn, dtype=jnp.int32)
+            bad_ii = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+                (bad_ii - r).astype(jnp.int32), mode="drop")
+            bad_jj = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+                (bad_jj - r).astype(jnp.int32), mode="drop")
+            bad_valid = ar_b < n_b
+            return (poses, disps, disps_sens, damping,
+                    fmaps_buf, nets_buf, inps_buf, aux,
+                    new_ii_i, new_jj_i, i_valid2, bad_ii, bad_jj, bad_valid,
+                    t_inac2, w_inac2)
+
+        (poses, disps, disps_sens, damping,
+         fmaps_buf, nets_buf, inps_buf, aux,
+         ii_i2, jj_i2, i_valid2, bad_ii, bad_jj, bad_valid,
+         t_inac2, w_inac2) = jax.lax.cond(
+            do_roll, _apply_roll, lambda op: op,
+            (poses, disps, disps_sens, damping,
+             fmaps_buf, nets_buf, inps_buf, aux,
+             ii_i2, jj_i2, i_valid2, bad_ii, bad_jj, bad_valid,
+             t_inac2, w_inac2),
+        )
+        # unconditional index re-basing (shift == 0 off-path)
+        ii2 = ii2 - shift
+        jj2 = jj2 - shift
+        cur_ii = cur_ii - shift
+        cur_jj = cur_jj - shift
+        o_prev = o_prev - shift
+        h0 = h0 - shift
+        t1 = t1 - shift
+        t1r = t1r - shift
 
         # ---- 3. coupled window selection (graph.update_coupled_mega +
         # coupled.prepare_device index logic)
@@ -590,6 +680,17 @@ class CoupledAsync:
         fe = self.fe
         g, v, coupled = fe.graph, fe.video, fe.coupled
         cfg = self.cfg
+        fc = cfg.frontend
+        if fc.rollup_start + 2 <= cfg.buffer:
+            # rollup reachable: the in-kernel roll cannot fail loudly, so
+            # enforce the invariant graph.shift_indices checks host-side
+            # (no active edge may go negative) up front
+            if fc.rollup_start - fc.rollup_shift < fc.active_window:
+                raise ValueError(
+                    "coupled async rollup needs rollup_start - "
+                    f"rollup_shift >= active_window ({fc.rollup_start} - "
+                    f"{fc.rollup_shift} < {fc.active_window})"
+                )
         g._flush()
         coupled.sync_host()
         if self.kernel is None:
@@ -662,6 +763,8 @@ class CoupledAsync:
         args = [st[k] for k in _CARRY]
         # the prox pack layout expected by edge_transition is
         # [cull_dist, prox...][1:] -- state stores it that way already
+        roll_start = cfg.frontend.rollup_start
+        roll_shift = cfg.frontend.rollup_shift
         state, pack, traj7 = self.kernel(
             args[0], args[1], v.disps_sens, v.damping, v.intrinsics,
             v.fmaps, v.nets, v.inps, v.fmaps_right,
@@ -671,6 +774,8 @@ class CoupledAsync:
             coupled._Tbc12_dev(), coupled._A_block(),
             jnp.asarray(fe.iters1, jnp.int32),
             jnp.asarray(fe.iters2, jnp.int32),
+            jnp.asarray(roll_start, jnp.int32),
+            jnp.asarray(roll_shift, jnp.int32),
             iters=cfg.ba.iters, use_sens=v.has_depth,
         )
         self.state = state
@@ -688,6 +793,12 @@ class CoupledAsync:
         self.pending.append((pack, t1))
         if len(self.pending) > 1:
             self._drain_one()
+        # replay the kernel's in-kernel rollup decision (do_roll = post-
+        # cull count > rollup_start; fe.t1 reflects the cull after the
+        # drain above) BEFORE the next step's pack is built -- the host
+        # mirrors shift exactly once per kernel roll
+        if fe.t1 > roll_start:
+            self._host_roll(roll_shift)
         # effective solve-time keyframe count for sync(): when the kernel
         # resolved a lagged cull this step (prev_cull branch), the drain
         # above just mirrored it into fe.t1, so fe.t1 == the count the
@@ -698,7 +809,7 @@ class CoupledAsync:
         # so any lazy host consumer parses it correctly
         g._host_pack_dev = pack
         g._host_pack_np = None
-        g._host_pack_t1 = t1
+        g._host_pack_t1 = fe.t1  # post drain/roll numbering of the pack
         g._host_pack_tail = NW * 21
         g._host_pack_dec = 13
         g._prox_offset = 2
@@ -716,6 +827,30 @@ class CoupledAsync:
             # one frame has been appended since (lag 1), and drains are
             # strictly ordered -- robust across consecutive culls
             self._host_apply_cull(self.fe.t1 - 3)
+
+    def _host_roll(self, roll: int):
+        """Mirror an in-kernel rollup (of the step just dispatched) into
+        the host state: the video slabs the kernel reads fresh per step,
+        the host-only buffers, the MultiSensorState window, and the
+        frontend counters.  poses/disps/edge stores are carried device-
+        side -- the kernel's own roll block shifted those already.  Runs
+        BEFORE the next step's factor pack is built."""
+        from .video import _roll as _roll_buf
+
+        fe = self.fe
+        v = fe.video
+        for name in ("disps_sens", "damping", "fmaps", "nets", "inps",
+                     "fmaps_right", "disps_up"):
+            buf = getattr(v, name, None)
+            if buf is not None:
+                setattr(v, name, _roll_buf(buf, roll))
+        v.tstamp = np.roll(v.tstamp, -roll)
+        v.images_small = np.roll(v.images_small, -roll, axis=0)
+        fe.coupled.state.rollup(roll)
+        fe.t1 -= roll
+        fe.count -= roll
+        fe.rollup_count += 1
+        v.counter = fe.t1
 
     def _host_apply_cull(self, c: int):
         """Mirror a device-decided cull (of keyframe ``c``, numbering at

@@ -328,10 +328,12 @@ class Frontend:
             self._ingest_sensors(cur_t)
 
             # zero-pull device-resident keyframe step (coupled_async.py);
-            # rollup/reinit events drain back to the synchronous flow below
+            # rollup runs in-kernel (the step kernel decides and applies
+            # it; the host replays the shift after its lagged drain), so
+            # only reinit events drain back to the synchronous flow below
             ca = self._casync
             if ca is not None and ca.active:
-                if self.t1 > fc.rollup_start or self.coupled.reinit:
+                if self.coupled.reinit:
                     ca.sync()
                 else:
                     ca.step(cur_t)
@@ -390,6 +392,7 @@ class Frontend:
             self.graph.shift_indices(roll)
             if self.coupled is not None and len(self.coupled.state) > 0:
                 self.coupled.rollup(roll)
+            self._roll_aux(roll)
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True
@@ -506,6 +509,20 @@ class Frontend:
         if not seeded:
             self.video.seed_next(self.t1)
 
+    def _roll_aux(self, roll: int):
+        """Roll buffer-indexed aux leaves alongside a rollup: aux entries
+        keyed by video slot (e.g. a test oracle's id_map) were uploaded
+        pre-shift.  Mirrors the async kernels' in-kernel aux roll so sync
+        and async flows see identical aux state mid-keyframe."""
+        if not self.graph.aux:
+            return
+        B = self.cfg.buffer
+        self.graph.aux = jax.tree_util.tree_map(
+            lambda a: jnp.roll(a, -roll, axis=0)
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B else a,
+            self.graph.aux,
+        )
+
     def _maybe_activate_casync(self):
         """Enter the zero-pull coupled pipeline when the state qualifies
         (slam/coupled_async.py scope gates)."""
@@ -534,6 +551,7 @@ class Frontend:
             self.graph.shift_indices(roll)
             if self.coupled is not None and len(self.coupled.state) > 0:
                 self.coupled.rollup(roll)
+            self._roll_aux(roll)
             self.t1 -= roll
             self.count -= roll
             self.did_rollup = True

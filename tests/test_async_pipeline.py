@@ -103,10 +103,13 @@ def make_cfg(async_on, keyframe_thresh=-1.0):
     )
 
 
-def run(async_on, n_frames=16, keyframe_thresh=-1.0, slow=()):
+def run(async_on, n_frames=16, keyframe_thresh=-1.0, slow=(),
+        rollup=None):
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], np.float32)
     gt_poses, gt_disps = make_scene(n_frames, intr, slow=slow)
     cfg = make_cfg(async_on, keyframe_thresh)
+    if rollup is not None:
+        cfg.frontend.rollup_start, cfg.frontend.rollup_shift = rollup
     feat_fn, ctx_fn, update_fn = make_fns(gt_poses, gt_disps, intr, cfg.buffer)
     sysm = DBAFusion(
         cfg, feat_fn=feat_fn, ctx_fn=ctx_fn, update_fn=update_fn
@@ -159,9 +162,39 @@ def test_async_matches_sync_with_culls():
     np.testing.assert_allclose(p_a, p_s, atol=1e-4)
 
 
-def test_async_rollup_drain_reenter():
-    """Crossing rollup_start drains the pipeline, runs the host rollup,
-    and re-enters async mode without desync."""
+def test_async_matches_sync_with_rollups():
+    """Rollup runs in-kernel on the async path (VERDICT r3 item 2): the
+    pipeline must NOT drain, and the result must bit-match the
+    synchronous host-rollup flow across >= 2 rollups."""
+    kw = dict(n_frames=26, rollup=(14, 4))
+    p_s, ii_s, jj_s, age_s, t1_s, ts_s = run(False, **kw)
+    p_a, ii_a, jj_a, age_a, t1_a, ts_a = run(True, **kw)
+    assert t1_a == t1_s
+    np.testing.assert_array_equal(ts_a, ts_s)
+    np.testing.assert_array_equal(ii_a, ii_s)
+    np.testing.assert_array_equal(jj_a, jj_s)
+    np.testing.assert_array_equal(age_a, age_s)
+    np.testing.assert_allclose(p_a, p_s, atol=1e-4)
+
+
+def test_async_matches_sync_with_culls_and_rollups():
+    """Culls and rollups interleaved, both resolved in-kernel."""
+    kw = dict(n_frames=28, keyframe_thresh=0.12, slow=(10, 11, 16, 21),
+              rollup=(14, 4))
+    p_s, ii_s, jj_s, age_s, t1_s, ts_s = run(False, **kw)
+    p_a, ii_a, jj_a, age_a, t1_a, ts_a = run(True, **kw)
+    assert t1_s < 28, "scene produced no culls; test is vacuous"
+    assert t1_a == t1_s
+    np.testing.assert_array_equal(ts_a, ts_s)
+    np.testing.assert_array_equal(ii_a, ii_s)
+    np.testing.assert_array_equal(jj_a, jj_s)
+    np.testing.assert_array_equal(age_a, age_s)
+    np.testing.assert_allclose(p_a, p_s, atol=1e-4)
+
+
+def test_async_rollup_stays_in_pipeline():
+    """Crossing rollup_start rolls in-kernel: the pipeline must stay
+    active across the rollup (no drain/re-enter)."""
     intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], np.float32)
     n_frames = 22
     gt_poses, gt_disps = make_scene(n_frames, intr)
@@ -180,8 +213,9 @@ def test_async_rollup_drain_reenter():
     a = sysm._async
     assert a is not None and a.active
     a.sync()
+    assert sysm.frontend.rollup_count >= 1, "no in-kernel rollup fired"
     t1 = sysm.frontend.t1
-    # rollup happened at least once: t1 stayed below the trigger + slack
+    # rollup happened: t1 stayed below the trigger + in-flight slack
     assert t1 <= cfg.frontend.rollup_start + a.lag + 1
     g = sysm.graph
     assert len(g.ii) > 0 and np.all(g.ii < t1) and np.all(g.jj < t1)

@@ -158,17 +158,17 @@ def test_async_matches_sync_coupled_with_culls():
 
 
 @pytest.mark.slow
-def test_async_coupled_rollup_drain_reenter():
-    """Drain -> host rollup -> re-enter must track the synchronous flow.
+def test_async_coupled_rollup_in_pipeline():
+    """Rollup runs INSIDE the zero-pull pipeline: the step kernel decides
+    ``t1 > rollup_start`` itself (sync semantics), re-bases every index
+    and rolls the buffers in-kernel, and the host replays the same shift
+    after its lagged drain -- the pipeline never drains for a rollup.
 
-    The drain restores the host mirrors mid-update (with a frame already
-    in flight), so this exercises the solve-time-numbering path of
-    CoupledAsync.sync() plus the in-flight state re-prediction.  Window
-    states must agree to solver noise; trajectory rows agree except for a
-    bounded transient exactly at the rollup keyframes, where the device
-    LM runs ~20+ iterations on the re-linearized window and its
-    thresholded accept/reject amplifies the async f32-seed noise for one
-    row (measured 0.5 m once, back to ~1 cm the next keyframe)."""
+    Because the factor-graph state stays device-resident across the
+    rollup (no f32 re-seed of a re-linearized window), the old
+    drain/re-enter transient (one ~0.5 m trajectory row per rollup,
+    bounded at 1 m in round 3) is structurally gone: every row must now
+    agree with the synchronous flow to <= 5 cm."""
     h_a, t1_a, est_a, ref_a, traj_a = _run(True, n_frames=30,
                                            rollup_start=20)
     h_s, t1_s, est_s, ref_s, traj_s = _run(False, n_frames=30,
@@ -178,15 +178,18 @@ def test_async_coupled_rollup_drain_reenter():
     assert h_s.frontend.rollup_count == fe.rollup_count
     ca = fe._casync
     assert ca is not None and ca.total_steps >= 3
+    # the pipeline stayed active across every rollup: steps since the
+    # (single) activation == lifetime steps
+    assert ca.steps == ca.total_steps, (ca.steps, ca.total_steps)
 
     assert t1_a == t1_s, (t1_a, t1_s)
     np.testing.assert_allclose(est_a, est_s, atol=2e-2)
     assert traj_a.shape == traj_s.shape
     d = np.linalg.norm(traj_a[:, :3] - traj_s[:, :3], axis=1)
     assert np.median(d) < 2e-2, np.median(d)
-    # at most one transient row per rollup beyond 5 cm, bounded at 1 m
-    assert int(np.sum(d > 5e-2)) <= fe.rollup_count, d
-    assert d.max() < 1.0, d.max()
+    # the rollup transient is gone: NO row beyond 5 cm (was "<= 1 m per
+    # rollup row" for the drain/re-enter flow in round 3)
+    assert d.max() < 5e-2, d.max()
 
     span = np.linalg.norm(ref_a.max(0) - ref_a.min(0))
     ate_a = ate_rmse(est_a, ref_a, align="se3")
