@@ -60,9 +60,21 @@ def run_coupled_rounds(
     sel_pose = jnp.asarray(dg._sel_pose(NW))
     imu_enabled = jnp.asarray(True, dtype=bool)
 
+    # round-invariant correlation operands, hoisted out of the round loop
+    # (features/edges are fixed across a keyframe's rounds; the gathers +
+    # Pallas layout packing are ~100 MB of HBM traffic per evaluation)
+    from .graph import corr_operands
+
+    corr_prep = corr_operands(
+        cfg, fmaps_buf, fmaps_right_buf, inps_buf, ii, jj
+    )
+
     def one(r, carry):
         (poses, disps, e_net, e_target, e_weight, fg, _, _, _,
          lm_stats) = carry
+        # the host-metrics pack is consumed on the decide round and (via
+        # the carry) the final executed round only; skip it elsewhere
+        want = (r == rounds_a - 1) | (r == rounds_a + rounds_b - 1)
         res, (t_all, w_ba) = update_raw(
             poses, disps, disps_sens, damping, intrinsics, fmaps_buf,
             inps_buf, fmaps_right_buf,
@@ -72,6 +84,7 @@ def run_coupled_rounds(
             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
             iters=iters, use_inactive=use_inactive, do_ba=False,
             use_sens=use_sens, seed_next=False, mega=False,
+            corr_prep=corr_prep, want_pack=want,
         )
         cur_target = t_all[sel_pad]
         cur_weight = w_ba[sel_pad]

@@ -82,6 +82,45 @@ def _rebuild_inactive(
     return t_new, w_new
 
 
+def corr_blk_layout(cfg, h8: int, w8: int):
+    """Static correlation-path decision shared by the update kernel and
+    external prep (run_coupled_rounds): (use_pallas_blk, group, tile)."""
+    grp = cfg.graph.corr_group
+    pix = h8 * w8
+    corr_tile = max(128, 16 * grp)
+    if pix % corr_tile:
+        grp, corr_tile = 8, 128  # small-frame fallback packing
+    blk = (
+        jax.default_backend() == "tpu"
+        and pix % corr_tile == 0 and corr_tile % grp == 0
+    )
+    return blk, grp, corr_tile
+
+
+def corr_operands(cfg, fmaps_buf, fmaps_right_buf, inps_buf, ii, jj):
+    """Gather + prepare the round-invariant correlation operands for an
+    edge set: (f1p, f2h, inp_e) on the Pallas path, (vol, inp_e) on the
+    XLA fallback.  The update kernel does this internally per call;
+    multi-round callers (run_coupled_rounds) hoist it out of their round
+    loop via the kernel's ``corr_prep`` argument -- features are fixed
+    across the rounds of one keyframe, so the ~100 MB of gathers and the
+    Pallas layout packing need to run once, not per round."""
+    f1 = fmaps_buf[ii]
+    f2 = fmaps_buf[jj]
+    if fmaps_right_buf is not None:
+        stereo_e = (ii == jj)[:, None, None, None]
+        f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
+    inp_e = inps_buf[ii]
+    blk, _, _ = corr_blk_layout(cfg, f1.shape[1], f1.shape[2])
+    if blk:
+        from ..ops.corr_pallas import prepare_corr_fmaps
+
+        f1p, f2h = prepare_corr_fmaps(f1, f2)
+        return (f1p, f2h, inp_e)
+    vol = corr_ops.build_volume_nhwc(f1, f2)
+    return (vol, inp_e)
+
+
 class UpdateResult(NamedTuple):
     edges: EdgeArrays
     poses: jnp.ndarray
@@ -129,6 +168,11 @@ def make_update_kernel(
         # static
         iters: int, use_inactive: bool, do_ba: bool, use_sens: bool,
         seed_next: bool, mega: bool,
+        # round-invariant correlation operands from corr_operands(), or
+        # None to gather in-kernel; want_pack=None computes the host
+        # metrics unconditionally, else only when the traced bool is set
+        # (multi-round callers need the pack on 2 of N rounds)
+        corr_prep=None, want_pack=None,
     ):
         grid = pj.coords_grid(e_target.shape[1], e_target.shape[2])
 
@@ -139,29 +183,25 @@ def make_update_kernel(
         # (in-kernel volume build, corr_pallas.py: the materialized volume
         # costs ~18 ms/round of pure HBM DMA); elsewhere the XLA
         # separable-matmul path on a prebuilt volume.
-        f1 = fmaps_buf[ii]
-        f2 = fmaps_buf[jj]
-        if fmaps_right_buf is not None:
-            stereo_e = (ii == jj)[:, None, None, None]
-            f2 = jnp.where(stereo_e, fmaps_right_buf[jj], f2)
-        grp = cfg.graph.corr_group
-        pix = f1.shape[1] * f1.shape[2]
-        corr_tile = max(128, 16 * grp)
-        if pix % corr_tile:
-            grp, corr_tile = 8, 128  # small-frame fallback packing
-        blk_corr = (
-            jax.default_backend() == "tpu"
-            and pix % corr_tile == 0 and corr_tile % grp == 0
+        blk_corr, grp, corr_tile = corr_blk_layout(
+            cfg, e_target.shape[1], e_target.shape[2]
         )
         if blk_corr:
-            from ..ops.corr_pallas import (
-                corr_fused_xy_prepared, prepare_corr_fmaps,
-            )
+            from ..ops.corr_pallas import corr_fused_xy_prepared
 
-            f1p, f2h = prepare_corr_fmaps(f1, f2)
+        if corr_prep is not None:
+            if blk_corr:
+                f1p, f2h, inp_e = corr_prep
+            else:
+                vol, inp_e = corr_prep
         else:
-            vol = corr_ops.build_volume_nhwc(f1, f2)
-        inp_e = inps_buf[ii]
+            prep = corr_operands(
+                cfg, fmaps_buf, fmaps_right_buf, inps_buf, ii, jj
+            )
+            if blk_corr:
+                f1p, f2h, inp_e = prep
+            else:
+                vol, inp_e = prep
 
         def one_round(_, carry):
             poses, disps, e_net_c, e_target_c, e_weight_c = carry
@@ -316,13 +356,26 @@ def make_update_kernel(
             out = one_round(0, (poses, disps, e_net, e_target, e_weight))
             poses, disps, e_net, e_target, e_weight, t_all, w_ba = out
             edge_conf = jnp.mean(e_weight, axis=(1, 2, 3))
+            if want_pack is None:
+                pack = cull_distance(poses, disps)
+            else:
+                # multi-round coupled callers only consume the pack of the
+                # decide round and the final round; skip the ~26-candidate
+                # frame-distance sweep on the others
+                n_pack = 1 + 5 * wf + n_skip
+                pack = jax.lax.cond(
+                    want_pack,
+                    lambda pd: cull_distance(*pd),
+                    lambda pd: jnp.zeros((n_pack,), jnp.float32),
+                    (poses, disps),
+                )
             return (
                 UpdateResult(
                     edges=EdgeArrays(e_net, e_target, e_weight),
                     poses=poses,
                     disps=disps,
                     edge_conf=edge_conf,
-                    host_pack=cull_distance(poses, disps),
+                    host_pack=pack,
                 ),
                 (t_all, w_ba),
             )

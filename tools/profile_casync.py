@@ -139,6 +139,11 @@ def main():
         feed(k)
     settle()
     assert video.imu_enabled, "VI init did not trigger"
+    # round-count knobs for marginal-cost measurement, applied after the
+    # warmup so VI init ran at full rounds (the steady-state async kernel
+    # takes traced counts, so this recompiles nothing)
+    frontend.iters1 = int(os.environ.get("ITERS1", frontend.iters1))
+    frontend.iters2 = int(os.environ.get("ITERS2", frontend.iters2))
     print(f"warm done; casync active: "
           f"{frontend._casync is not None and frontend._casync.active}",
           flush=True)
