@@ -94,9 +94,12 @@ def bench_visual(mode: str):
 
     if mode == "cull":
         cfg.frontend.filter_thresh = -1.0
-        cfg.frontend.keyframe_thresh = 300.0  # ~median in-kernel flow
-        # distance of this stream with the untrained net (span 4..1000):
-        # roughly half the keyframes cull
+        cfg.frontend.keyframe_thresh = 1e9  # cull EVERY keyframe: the
+        # deterministic worst case of the in-kernel cull machinery
+        # (deferred prev_cull transition fires every step).  Together
+        # with the no-cull "visual" phase this brackets any real
+        # admit/cull mix; a distribution-tuned threshold is not
+        # reproducible with the untrained network on this stream.
     elif mode == "gateonly":
         cfg.frontend.filter_thresh = 1e9  # reject everything post-init
         cfg.frontend.keyframe_thresh = -1.0
@@ -129,8 +132,8 @@ def bench_visual(mode: str):
     ):
         system.track(float(k), frame(k), intrinsics=intr)
         k += 1
-        if mode == "gateonly" and k >= 80:
-            break
+        if mode in ("gateonly", "cull") and k >= 80:
+            break  # t1 cannot grow in these modes: no rollup will come
     settle_frames = 4
     if system._async is not None and system._async.active:
         settle_frames = 2 * max(system._async.drain_batch, 2)
@@ -140,6 +143,8 @@ def bench_visual(mode: str):
     n_warm = k
     if system._async is not None and system._async.active:
         jax.block_until_ready(system._async.state["poses"])
+        # drain warmup packs so the admission count starts clean
+        system._async._drain(len(system._async.queue))
     t1_before = (
         int(system._async.t1_mirror)
         if system._async is not None and system._async.active

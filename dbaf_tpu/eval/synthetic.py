@@ -95,11 +95,17 @@ def scene_from_poses(poses_at, n_frames: int, intr: np.ndarray, h8: int,
     )
 
 
-def make_oracle(gt_poses_cw, gt_disps, intr):
+def make_oracle(gt_poses_cw, gt_disps, intr, noise_px: float = 0.0):
     """'Perfect network' update operator: true correspondences, weight 1.
 
     Frame identity travels via ``aux['id_map']`` (video slot -> ground-truth
     frame id) so culling/rollup stay correct.
+
+    ``noise_px`` adds zero-mean per-pixel pseudo-noise (std ~ noise_px) to
+    the targets, deterministically derived from the evolving reprojection
+    state -- successive update rounds see fresh draws, which makes round
+    count matter for accuracy (the imperfect-network regime the
+    round-count ablation needs); 0.0 keeps the exact oracle.
     """
     gtp = jnp.asarray(gt_poses_cw)
     gtd = jnp.asarray(gt_disps)
@@ -110,6 +116,18 @@ def make_oracle(gt_poses_cw, gt_disps, intr):
         gi = id_map[ii]
         gj = id_map[jj]
         target, valid = pj.projective_transform(gtp, gtd, intr8, gi, gj)
+        if noise_px:
+            c1 = aux["coords1"]
+            phase = (
+                c1 * jnp.asarray([12.9898, 78.233])
+                + c1[..., ::-1] * jnp.asarray([39.3467, 11.135])
+                + ii[:, None, None, None].astype(jnp.float32) * 0.7311
+                + jj[:, None, None, None].astype(jnp.float32) * 1.2371
+            )
+            h = jnp.sin(jnp.sum(phase, axis=-1, keepdims=True) * 43758.5453)
+            h2 = jnp.concatenate([h, jnp.sin(h * 24634.6345 + 1.0)], axis=-1)
+            # sin of a fast phase ~ zero-mean, std 1/sqrt(2), bounded
+            target = target + (noise_px * 1.414) * jnp.sin(h2 * 971.487)
         delta = target - aux["coords1"]
         weight = jnp.broadcast_to(valid, delta.shape)
         return net, delta.astype(jnp.float32), weight.astype(jnp.float32)
