@@ -135,9 +135,17 @@ class Frontend:
             return
         t1 = self._pending_t1
         self._pending_t1 = None
+        pre_counter = self.video.counter
         culled, _ = self.graph.finish_mega(pack)
         if culled:
             self.graph.rm_keyframe(t1 - 2)
+            # rm_keyframe's single-row shift assumes the culled slot is
+            # penultimate (true when the motion filter resolves BEFORE the
+            # next append).  External feeders resolve via __call__ AFTER
+            # appending the next frame -- shift those extra rows down too
+            # or the new frame is orphaned above the window.
+            for s in range(t1, pre_counter):
+                self.video.copy_row(s - 1, s)
             self.t1 = t1 - 1
             self.video.seed_next(self.t1)
 
