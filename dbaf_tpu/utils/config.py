@@ -29,7 +29,7 @@ class GraphConfig:
     # Pallas correlation kernel (x-first variant; 16 fastest measured)
     corr_int8: bool = False          # run the dominant P2 stage of the fused
     # corr kernel on the int8 MXU.  MEASURED NEGATIVE (2026-08-17): the pure
-    # dot gains 77 -> 106 TFLOP/s (tools/ablate_corr mm_p2_i8) but the
+    # dot gains 77 -> 106 TFLOP/s (docs/ABLATION_CORR.md mm_p2_i8) but the
     # in-kernel quantization (per-tile max reduce + round + f32->int8
     # conversions over ~1.3M elements) costs more than the dot saves:
     # v5g16 15.99 ms bf16 vs 19.55 ms int8 (tools/profile_corr).  Kept as a

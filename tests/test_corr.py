@@ -117,8 +117,6 @@ def test_pallas_lookup_matches_fused_interpret(rng):
 
 def test_corr_fused_pallas_matches_xla(rng):
     """Fused volume+lookup kernel (interpret mode) == build+lookup+NHWC."""
-    from dbaf_tpu.ops.corr_pallas import corr_fused_pallas
-
     E, H, W, C = 2, 16, 32, 64  # P=512 -> 4 tiles of 128
     f1 = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.bfloat16)
     f2 = jnp.asarray(rng.normal(size=(E, H, W, C)), jnp.bfloat16)
@@ -127,28 +125,15 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     vol = corr.build_volume_nhwc(f1, f2)
     ref = np.asarray(corr.lookup_fused(vol, coords)).transpose(0, 2, 3, 1)
-    out = np.asarray(corr_fused_pallas(f1, f2, coords, interpret=True))
-    assert out.shape == ref.shape
-    # bf16 output: ~1e-2 absolute tolerance (reference lookups are fp16)
-    np.testing.assert_allclose(out, ref, atol=2e-2)
 
-    from dbaf_tpu.ops.corr_pallas import lookup_blk_pallas
-
-    out2 = np.asarray(lookup_blk_pallas(vol, coords, interpret=True))
-    np.testing.assert_allclose(out2, ref, atol=2e-2)
-
-    # v3: in-kernel volume build (volume never materialized)
-    from dbaf_tpu.ops.corr_pallas import corr_fused_blk_pallas
-
-    out3 = np.asarray(corr_fused_blk_pallas(f1, f2, coords, interpret=True))
-    np.testing.assert_allclose(out3, ref, atol=2e-2)
-
-    # v5: x-first order (the production hot-path kernel)
+    # v5: x-first order (the production hot-path kernel); bf16 output:
+    # ~1e-2 absolute tolerance (reference lookups are fp16)
     from dbaf_tpu.ops.corr_pallas import corr_fused_xy_pallas
 
     out5 = np.asarray(
         corr_fused_xy_pallas(f1, f2, coords, group=8, interpret=True)
     )
+    assert out5.shape == ref.shape
     np.testing.assert_allclose(out5, ref, atol=2e-2)
 
     # v5 int8: P2 stage quantized to the int8 MXU.  Error bound: vol
@@ -168,20 +153,6 @@ def test_corr_fused_pallas_matches_xla(rng):
     )
     np.testing.assert_allclose(out5t, out5, atol=1e-4)
 
-    # v8: round-cached volume (build once, look up many) -- must be
-    # BIT-exact vs the fused v5 kernel (same build dots, same stages)
-    from dbaf_tpu.ops.corr_pallas import (
-        build_xy_volume, corr_fused_xy_from_vol, prepare_corr_fmaps,
-    )
-
-    f1p, f2h = prepare_corr_fmaps(f1, f2)
-    vol8 = build_xy_volume(f1p, f2h, tile=128, group=8, interpret=True)
-    out8 = np.asarray(
-        corr_fused_xy_from_vol(vol8, coords, tile=128, group=8,
-                               interpret=True)
-    )
-    np.testing.assert_array_equal(out8, out5)
-
     # raw block layout (measured-negative ablation, kept as capability):
     # gathering each reference channel's block position reproduces the
     # extracted output exactly
@@ -195,18 +166,6 @@ def test_corr_fused_pallas_matches_xla(rng):
     pos = np.full(idx.max() + 1, -1, np.int64)
     pos[idx[idx >= 0]] = np.where(idx >= 0)[0]
     np.testing.assert_array_equal(out5r[..., pos], out5)
-
-    # v6: paired x-first (K,N >= 128 on every dot)
-    from dbaf_tpu.ops.corr_pallas import corr_fused_xyp_pallas
-
-    out6 = np.asarray(
-        corr_fused_xyp_pallas(f1, f2, coords, group=4, interpret=True)
-    )
-    np.testing.assert_allclose(out6, ref, atol=2e-2)
-    out6b = np.asarray(
-        corr_fused_xyp_pallas(f1, f2, coords, group=8, interpret=True)
-    )
-    np.testing.assert_allclose(out6b, ref, atol=2e-2)
 
 
 def test_pyramid_lookup_channel_order(rng):
