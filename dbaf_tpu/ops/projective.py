@@ -18,7 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from . import lie
+from . import lie, sim3
 
 # Minimum z-depth for a reprojection to count as valid.  The reference uses
 # 0.2 in the autograd python path (projective_ops.py:6) but 0.25 in the CUDA
@@ -74,12 +74,28 @@ def proj(
 
 
 def _edge_rel_poses(poses: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray) -> jnp.ndarray:
-    """Per-edge relative transforms G_ij with the stereo-edge override."""
+    """Per-edge relative transforms G_ij with the stereo-edge override.
+
+    Accepts SE3 7-vectors or Sim3 8-vectors (the training-time Sim3 branch,
+    projective_ops.py:84-94); the stereo baseline lifts to unit scale.
+    """
     gi = poses[ii]
     gj = poses[jj]
-    gij = lie.se3_rel(gi, gj)
+    if poses.shape[-1] == 8:
+        gij = sim3.rel(gi, gj)
+        override = sim3.from_se3(STEREO_POSE)
+    else:
+        gij = lie.se3_rel(gi, gj)
+        override = STEREO_POSE
     stereo = (ii == jj)[..., None]
-    return jnp.where(stereo, STEREO_POSE.astype(gij.dtype), gij)
+    return jnp.where(stereo, override.astype(gij.dtype), gij)
+
+
+def _act4(g: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous-depth action, SE3 (7) or Sim3 (8) by pose width."""
+    if g.shape[-1] == 8:
+        return sim3.act4(g, X)
+    return lie.se3_act4(g, X)
 
 
 def projective_transform(
@@ -93,8 +109,10 @@ def projective_transform(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reproject every pixel of frame ii into frame jj.
 
-    poses: (N, 7) world->camera; disps: (N, H, W); intrinsics: (N, 4) or (4,).
-    Returns coords (E, H, W, 2[+1]) and validity mask (E, H, W, 1).
+    poses: (N, 7) world->camera SE3, or (N, 8) Sim3 ``(t, q, s)`` for the
+    training-time 7-dof branch (projective_ops.py:84-94); disps: (N, H, W);
+    intrinsics: (N, 4) or (4,).  Returns coords (E, H, W, 2[+1]) and
+    validity mask (E, H, W, 1).
 
     Mirrors /root/reference/dbaf/geom/projective_ops.py:96-125.
     """
@@ -104,8 +122,8 @@ def projective_transform(
         intr_i, intr_j = intrinsics[ii], intrinsics[jj]
 
     X0 = iproj(disps[ii], intr_i)  # (E, H, W, 4)
-    gij = _edge_rel_poses(poses, ii, jj)  # (E, 7)
-    X1 = lie.se3_act4(gij[:, None, None, :], X0)
+    gij = _edge_rel_poses(poses, ii, jj)  # (E, 7|8)
+    X1 = _act4(gij[:, None, None, :], X0)
     coords = proj(X1, intr_j, min_depth=min_depth, return_depth=return_depth)
     valid = (X1[..., 2] > min_depth) & (X0[..., 2] > min_depth)
     return coords, valid[..., None].astype(coords.dtype)
@@ -132,7 +150,7 @@ def projective_transform_comp(
         intr_i, intr_j = intrinsics[ii], intrinsics[jj]
     X0 = iproj(disps[ii], intr_i)
     gij = _edge_rel_poses(poses, ii, jj)
-    X1 = lie.se3_act4(gij[:, None, None, :], X0) + xyz_comp
+    X1 = _act4(gij[:, None, None, :], X0) + xyz_comp
     coords = proj(X1, intr_j, min_depth=min_depth)
     valid = (X1[..., 2] > min_depth) & (X0[..., 2] > min_depth)
     return coords, valid[..., None].astype(coords.dtype)
@@ -236,6 +254,75 @@ def projection_jacobians(
     # Ji row-wise: Ji_row = -(Ad_{Gij}^T J_row)
     Ji = -lie.se3_adjT(gije[..., None, :], Jj)
 
+    return EdgeJacobians(coords=coords, valid=valid, Ji=Ji, Jj=Jj, Jz=Jz)
+
+
+def projection_jacobians_sim3(
+    poses: jnp.ndarray,
+    disps: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    min_depth: float = MIN_DEPTH_PY,
+) -> EdgeJacobians:
+    """7-dof reprojection Jacobians for Sim3 poses ``(N, 8)``.
+
+    The Sim3 branch of the reference's training-time linearization
+    (projective_ops.py:36-94): point-action Jacobian Ja (4x7, extra scale
+    column [X, Y, Z, 0]) composed with the pinhole projection Jacobian
+    Jp (2x4); Ji applies the negated Sim3 dual adjoint row-wise.  Ji/Jj
+    are (E, H, W, 2, 7); Jz is d(coords)/d(disp_i) via the chain through
+    iproj (dX0/dd = e4, so Jz = Jp · Gij·e4 = Jp · [t, 1]).
+    """
+    if intrinsics.ndim == 1:
+        intr_i = intr_j = jnp.broadcast_to(intrinsics, ii.shape + (4,))
+    else:
+        intr_i, intr_j = intrinsics[ii], intrinsics[jj]
+
+    X0 = iproj(disps[ii], intr_i)
+    gij = _edge_rel_poses(poses, ii, jj)  # (E, 8)
+    gije = gij[:, None, None, :]
+    X1 = sim3.act4(gije, X0)
+
+    x, y, z, h = jnp.moveaxis(X1, -1, 0)
+    valid = z > min_depth
+    d = jnp.where(valid, 1.0 / jnp.where(valid, z, 1.0), 0.0)
+    d2 = d * d
+
+    fx, fy, cx, cy = jnp.moveaxis(intr_j[:, None, None, :], -1, 0)
+    coords = jnp.stack([fx * d * x + cx, fy * d * y + cy], axis=-1)
+
+    o = jnp.zeros_like(d)
+    # Jp @ Ja with Ja rows (projective_ops.py:84-90):
+    #   [d, 0, 0,  0,  z, -y, x]
+    #   [0, d, 0, -z,  0,  x, y]
+    #   [0, 0, d,  y, -x,  0, z]   (4th row zero)
+    # and Jp = [[fx*d, 0, -fx*x*d^2, 0], [0, fy*d, -fy*y*d^2, 0]].
+    Jj = jnp.stack(
+        [
+            fx * (h * d), o, fx * (-x * h * d2),
+            fx * (-x * y * d2), fx * (1.0 + x * x * d2), fx * (-y * d),
+            o,
+            o, fy * (h * d), fy * (-y * h * d2),
+            fy * (-1.0 - y * y * d2), fy * (x * y * d2), fy * (x * d),
+            o,
+        ],
+        axis=-1,
+    ).reshape(x.shape + (2, 7))
+    # The scale column is Jp @ [X, Y, Z, 0] = fx*(X*d - X*d^2*Z) = 0
+    # EXACTLY (left-perturbing the relative Sim3 by a pure scale scales
+    # the whole transformed point; the projection is invariant).  The o
+    # entries above already encode it; per-frame scale sensitivity enters
+    # through the -t·v row of the dual adjoint below -- identical to the
+    # reference's Jp @ Ja composition (projective_ops.py:84-94).
+
+    tx, ty, tz = (gij[:, k][:, None, None] for k in range(3))
+    Jz = jnp.stack(
+        [fx * (tx * d - tz * (x * d2)), fy * (ty * d - tz * (y * d2))],
+        axis=-1,
+    )
+
+    Ji = -sim3.adjT(gije[..., None, :], Jj)
     return EdgeJacobians(coords=coords, valid=valid, Ji=Ji, Jj=Jj, Jz=Jz)
 
 

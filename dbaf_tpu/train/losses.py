@@ -11,7 +11,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 
-from ..ops import lie, projective as pj
+from ..ops import lie, projective as pj, sim3
 
 
 def fit_scale(Ps: jnp.ndarray, Gs: jnp.ndarray) -> jnp.ndarray:
@@ -22,15 +22,23 @@ def fit_scale(Ps: jnp.ndarray, Gs: jnp.ndarray) -> jnp.ndarray:
 
 
 def pose_metrics(dE: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    ang = jnp.linalg.norm(lie.so3_log(dE[..., 3:]), axis=-1)
+    """Translation/rotation(/scale) error metrics (losses.py:9-18).
+
+    Accepts SE3 7-vectors or Sim3 8-vectors; the Sim3 form adds the
+    reference's ``s_err = |s - 1|`` scale metric.
+    """
+    ang = jnp.linalg.norm(lie.so3_log(dE[..., 3:7]), axis=-1)
     r_err = jnp.rad2deg(ang)
     t_err = jnp.linalg.norm(dE[..., :3], axis=-1)
-    return {
+    out = {
         "rot_error": jnp.mean(r_err),
         "tr_error": jnp.mean(t_err),
         "bad_rot": jnp.mean((r_err < 0.1).astype(jnp.float32)),
         "bad_tr": jnp.mean((t_err < 0.01).astype(jnp.float32)),
     }
+    if dE.shape[-1] == 8:
+        out["scale_error"] = jnp.mean(jnp.abs(dE[..., 7] - 1.0))
+    return out
 
 
 def geodesic_loss(
@@ -42,24 +50,46 @@ def geodesic_loss(
     do_scale: bool = True,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Relative-pose geodesic loss over unrolled estimates
-    (losses.py:30-74).  Ps: (N, 7) ground truth; Gs_list: iterates."""
-    dP = lie.se3_rel(Ps[ii], Ps[jj])
+    (losses.py:30-74).  Ps: (N, 7) ground truth; Gs_list: iterates,
+    each (N, 7) SE3 or (N, 8) Sim3 (the monocular 7-dof training mode;
+    Sim3 adds the reference's ``0.05 * |sigma|`` scale-drift term).
+    Metrics are always computed on the Sim3 lift (losses.py:64)."""
+    is_sim3 = Gs_list[0].shape[-1] == 8
+    if is_sim3:
+        dP = sim3.rel(sim3.from_se3(Ps[ii]), sim3.from_se3(Ps[jj]))
+    else:
+        dP = lie.se3_rel(Ps[ii], Ps[jj])
     n = len(Gs_list)
     total = 0.0
     metrics = {}
     for i, Gs in enumerate(Gs_list):
         w = gamma ** (n - i - 1)
-        dG = lie.se3_rel(Gs[ii], Gs[jj])
-        if do_scale:
-            s = fit_scale(dP, dG)
-            dG = jnp.concatenate([dG[..., :3] * s, dG[..., 3:]], axis=-1)
-        d = lie.se3_log(lie.se3_mul(dG, lie.se3_inv(dP)))
-        tau, phi = d[..., :3], d[..., 3:]
-        total = total + w * (
-            jnp.mean(jnp.linalg.norm(tau, axis=-1))
-            + jnp.mean(jnp.linalg.norm(phi, axis=-1))
-        )
-        metrics = pose_metrics(lie.se3_mul(dG, lie.se3_inv(dP)))
+        if is_sim3:
+            dG = sim3.rel(Gs[ii], Gs[jj])
+            if do_scale:
+                dG = sim3.scale(dG, fit_scale(dP, dG))
+            dE = sim3.mul(dG, sim3.inv(dP))
+            d = sim3.log(dE)
+            tau, phi, sig = d[..., :3], d[..., 3:6], d[..., 6:]
+            total = total + w * (
+                jnp.mean(jnp.linalg.norm(tau, axis=-1))
+                + jnp.mean(jnp.linalg.norm(phi, axis=-1))
+                + 0.05 * jnp.mean(jnp.linalg.norm(sig, axis=-1))
+            )
+        else:
+            dG = lie.se3_rel(Gs[ii], Gs[jj])
+            if do_scale:
+                s = fit_scale(dP, dG)
+                dG = jnp.concatenate([dG[..., :3] * s, dG[..., 3:]], axis=-1)
+            dE = lie.se3_mul(dG, lie.se3_inv(dP))
+            d = lie.se3_log(dE)
+            tau, phi = d[..., :3], d[..., 3:]
+            total = total + w * (
+                jnp.mean(jnp.linalg.norm(tau, axis=-1))
+                + jnp.mean(jnp.linalg.norm(phi, axis=-1))
+            )
+            dE = sim3.from_se3(dE)
+        metrics = pose_metrics(dE)
     return total, metrics
 
 
