@@ -60,3 +60,28 @@ def test_monitor_system_smoke(tmp_path):
     files = os.listdir(tmp_path)
     for stem in ("monitor_", "disparity", "flow_weight", "covisible"):
         assert any(f.startswith(stem) for f in files), (stem, files)
+
+
+def test_visualize_animation_frames(tmp_path):
+    """Headless animation viewer: accumulating per-keyframe PNG frames
+    with the chase camera (reference animation parity,
+    check_reconstruction_tumvi_animation.py:73-126)."""
+    import numpy as np
+    from dbaf_tpu.eval.visualize import animate_matplotlib
+
+    rng = np.random.default_rng(0)
+    cams, points = {}, {}
+    for k in range(5):
+        T = np.eye(4)
+        T[:3, 3] = [0.3 * k, 0.0, 0.0]
+        cams[k] = T
+        points[k] = dict(
+            pts=rng.normal(size=(50, 3)) + T[:3, 3],
+            clr=rng.random((50, 3)),
+        )
+    recon = {"cameras": cams, "points": points}
+    out = tmp_path / "anim"
+    frames = animate_matplotlib(recon, str(out), stride=2)
+    assert len(frames) == 3
+    for f in frames:
+        assert (out / f.split("/")[-1]).stat().st_size > 1000
