@@ -27,10 +27,19 @@ disabled and the drain finds nothing to mirror -- the pull itself always
 overlaps compute).  Trajectory rows are device 7-vecs resolved at
 terminate.
 
-Scope: post-VI-init steady state, IMU-only (no GNSS/odo/ZUPT), no
-save_pkl archival, high-freq output off.  Only init/reinit events drain
-the pipeline back to the synchronous host flow (which remains fully
-general); ROLLUP runs in-kernel (v3): the step kernel itself decides
+Scope: post-VI-init steady state, no save_pkl archival, high-freq output
+off.  GNSS/odometry/ZUPT factors are fully supported (v4): they ride the
+per-keyframe factor pack (fusion/device_graph.pack_graph_np already
+packs gnss/odo rows for the device solver), and on an in-kernel cull the
+culled frame's measurement is re-linked onto its predecessor inside the
+DEVICE marginal (_relink_culled_gnss_odo == coupled.rm_new_gnss,
+reference depth_video.py:272-304) before the per-frame pack rows shift.
+GNSS configs activate only after georeferencing (init_gnss rewrites all
+poses, a host-side event); the ZUPT admission gate keeps its host
+semantics and reads the IMU-propagated velocity mirror, which lags the
+device solve by the pipeline depth (one keyframe).  Only init/reinit
+events drain the pipeline back to the synchronous host flow (which
+remains fully general); ROLLUP runs in-kernel (v3): the step kernel itself decides
 ``t1 > rollup_start`` (sync semantics, post-cull count), rolls the
 video buffers and re-bases every absolute frame index -- the factor
 pack, fg state rows, marginal prior, and prox distances are
@@ -147,6 +156,85 @@ def _pg_merge_slot(pg: dg.PackedGraph, s, NW: int) -> dg.PackedGraph:
     return pg._replace(**rep)
 
 
+def _pg_cull_frame_rows(pg: dg.PackedGraph, rc, NW: int) -> dg.PackedGraph:
+    """Drop the per-frame GNSS/odo rows of culled pack slot ``rc``,
+    shifting the slots above down (the host's merge_keyframe list
+    deletion for gnss_valid/gnss_position/odo_valid/odo_vel; the culled
+    frame's own measurement was re-linked into the marginal first --
+    coupled.rm_new_gnss semantics, reference depth_video.py:272-304)."""
+    arW = jnp.arange(NW)
+    take = jnp.clip(jnp.where(arW >= rc, arW + 1, arW), 0, NW - 1)
+    return pg._replace(
+        gnss_pos=pg.gnss_pos[take],
+        gnss_mask=jnp.where(arW >= rc, pg.gnss_mask[take] & (arW < NW - 1),
+                            pg.gnss_mask),
+        odo_vel=pg.odo_vel[take],
+        odo_mask=jnp.where(arW >= rc, pg.odo_mask[take] & (arW < NW - 1),
+                           pg.odo_mask),
+    )
+
+
+def _relink_culled_gnss_odo(pg: dg.PackedGraph, rows, mgd: dg.MargDense,
+                            c, o_prev, h0, NW: int):
+    """In-kernel coupled.rm_new_gnss (reference depth_video.py:272-304):
+    when the culled keyframe ``c`` carries a GNSS/odometry measurement,
+    transfer it onto frame c-1 -- offset by the current relative state --
+    and bake the LINEARIZED factor into the device marginal (the host
+    flow rebuilds marg_factor via linearize_to_hessian; the lin point is
+    the marginal's stored one when frame c-1 is already in it, else the
+    current solved state, matching values[X(t1-1)] = cur_result)."""
+    rc = c - h0          # pack slot of the culled frame
+    f = c - 1 - o_prev   # marginal slot receiving the re-linked factors
+    f = jnp.clip(f, 0, NW - 1)
+    row_c = rows[jnp.clip(c - o_prev, 0, NW - 1)]
+    row_p = rows[f]
+    lin_raw = jnp.where(mgd.mask[f], mgd.lin[f], row_p)
+    R_lin = lin_raw[:9].reshape(3, 3)
+    t_lin = lin_raw[9:12]
+    v_lin = lin_raw[12:15]
+    H, v = mgd.H, mgd.v
+    any_fct = jnp.zeros((), bool)
+
+    # ---- GNSS (GPSFactor on X(c-1); Cauchy weight at the lin point)
+    has_g = pg.gnss_mask[jnp.clip(rc, 0, NW - 1)]
+    p_new = (pg.gnss_pos[jnp.clip(rc, 0, NW - 1)]
+             - row_c[9:12] + row_p[9:12])
+    r_g = t_lin - p_new
+    e2 = r_g @ (pg.gnss_info @ r_g)
+    w = pg.gnss_k2 / (pg.gnss_k2 + e2)
+    Lam_g = w * pg.gnss_info
+    JtL = R_lin.T @ Lam_g
+    mg = has_g.astype(H.dtype)
+    g_rows = 15 * f + 3 + jnp.arange(3)
+    H = H.at[g_rows[:, None], g_rows[None, :]].add(mg * (JtL @ R_lin))
+    v = v.at[g_rows].add(mg * (-(JtL @ r_g)))
+    any_fct = any_fct | has_g
+
+    # ---- odometry (VelFactor on X(c-1), V(c-1))
+    has_o = pg.odo_mask[jnp.clip(rc, 0, NW - 1)]
+    Rc = row_c[:9].reshape(3, 3)
+    Rp = row_p[:9].reshape(3, 3)
+    v_new = (pg.odo_vel[jnp.clip(rc, 0, NW - 1)]
+             - Rc.T @ row_c[12:15] + Rp.T @ row_p[12:15])
+    vb = R_lin.T @ v_lin
+    r_o = vb - v_new
+    Jo = jnp.concatenate([dg._hat(vb), R_lin.T], axis=1)  # (3, 6) [w, vel]
+    JtLo = Jo.T @ pg.odo_info
+    mo = has_o.astype(H.dtype)
+    o_rows = jnp.concatenate(
+        [15 * f + jnp.arange(3), 15 * f + 6 + jnp.arange(3)]
+    )
+    H = H.at[o_rows[:, None], o_rows[None, :]].add(mo * (JtLo @ Jo))
+    v = v.at[o_rows].add(mo * (-(JtLo @ r_o)))
+    any_fct = any_fct | has_o
+
+    mask = mgd.mask.at[f].set(mgd.mask[f] | any_fct)
+    lin = mgd.lin.at[f].set(
+        jnp.where(any_fct, lin_raw, mgd.lin[f])
+    )
+    return dg.MargDense(mask, lin, H, v)
+
+
 def _roll_pg(pg: dg.PackedGraph, shift, NW: int) -> dg.PackedGraph:
     """Re-base a packed factor graph by ``shift`` window slots (traced
     int >= 0).  IMU slot k connects frames (origin+k, origin+k+1); prior
@@ -253,7 +341,15 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
             (pg_h0, poses, disps, disps_sens, damping,
              fmaps_buf, nets_buf, inps_buf,
              e_net, e_target, e_weight, ii, jj, age, e_valid,
-             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux) = op
+             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux,
+             mgd) = op
+            # (a0) re-link the culled frame's GNSS/odometry measurement
+            # onto its predecessor inside the marginal (the sync flow's
+            # coupled.rm_new_gnss BEFORE merge_keyframe,
+            # frontend.py:428-431), then drop its per-frame pack rows
+            mgd = _relink_culled_gnss_odo(pg_h0, rows, mgd, c, o_prev,
+                                          h0, NW)
+            pg_h0 = _pg_cull_frame_rows(pg_h0, c - h0, NW)
             # (a) repair the uploaded factor pack: the host packed the
             # culled frame's two IMU intervals separately; compose them
             # (== the host's merge_keyframe re-integration)
@@ -320,18 +416,18 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
                     edges0.net, edges0.target, edges0.weight,
                     ct["ii"], ct["jj"], ct["age"], ct["valid"],
                     t_inac, w_inac, ct["ii_i"], ct["jj_i"], ct["i_valid"],
-                    rows, prox_d, aux)
+                    rows, prox_d, aux, mgd)
 
         (pg_h0, poses, disps, disps_sens, damping,
          fmaps_buf, nets_buf, inps_buf,
          e_net, e_target, e_weight, ii, jj, age, e_valid,
          t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d,
-         aux) = jax.lax.cond(
+         aux, mgd) = jax.lax.cond(
             prev_cull, _apply_cull, lambda op: op,
             (pg_h0, poses, disps, disps_sens, damping,
              fmaps_buf, nets_buf, inps_buf,
              e_net, e_target, e_weight, ii, jj, age, e_valid,
-             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux),
+             t_inac, w_inac, ii_i, jj_i, i_valid, rows, prox_d, aux, mgd),
         )
         # effective keyframe count; the host's pre-merge bookkeeping
         # values (last_t0/last_t1, cur_ii/cur_jj) deliberately keep the
@@ -664,9 +760,12 @@ class CoupledAsync:
             and fe.t1 == coupled.last_t1
             # scope gates (culling is fully supported: in-kernel
             # decision + deferred prev_cull transition + lagged host
-            # mirror -- v2)
-            and len(fe.all_gnss) == 0 and len(fe.all_odo) == 0
-            and not fe.use_zupt and fe.all_stamp is None
+            # mirror -- v2.  GNSS/odo/ZUPT factors ride the per-keyframe
+            # pack and, on a cull, are re-linked into the device marginal
+            # in-kernel -- v4; GNSS configs wait for georeferencing
+            # (init_gnss) since that alignment rewrites every pose)
+            and (len(fe.all_gnss) == 0 or coupled.gnss_init_time > 0.0)
+            and fe.all_stamp is None
             and not cfg.save_pkl and not cfg.stereo
             and not fe.video.has_depth
             and len(coupled.prior_factor_map) == 0
@@ -945,8 +1044,11 @@ class CoupledAsync:
             # the device never resolved its own last cull (it would have
             # at the start of the next step): finish it host-side --
             # exactly the synchronous flow's post-mega cull block
-            # (frontend.py:416-419)
+            # (frontend.py:416-419), INCLUDING the GNSS/odometry re-link
+            # into the marginal (rm_new_gnss pulls the just-restored
+            # device marginal to host and rebuilds it)
             c = t1 - 2
+            coupled.rm_new_gnss(c)
             g.rm_keyframe(c)              # edges + video-row shifts
             if in_flight:
                 # a frame appended after the last step sits one above the

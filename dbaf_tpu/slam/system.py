@@ -275,4 +275,19 @@ class DBAFusion:
         for k, (t, p) in enumerate(traj):
             arr = pulled.get(k, p)
             rows.append(np.concatenate([[t], np.asarray(arr)]))
+        # georeferenced runs: backfill ECEF rows for keyframes whose
+        # trajectory row stayed on device (the async coupled pipeline
+        # writes device 7-vecs; the sync flow writes ECEF eagerly,
+        # frontend._write_traj_row)
+        coupled = getattr(self.frontend, "coupled", None)
+        if coupled is not None and getattr(coupled, "gnss_init_t1", -1) > 0 \
+                and coupled.ten0 is not None:
+            from ..utils import geodesy
+
+            Cen = geodesy.Cen(coupled.ten0)
+            ecef = self.frontend.trajectory_ecef
+            for k in pulled:
+                if k not in ecef:
+                    ecef[k] = coupled.ten0 + Cen @ np.asarray(
+                        rows[k][1:4], np.float64)
         return np.asarray(rows)

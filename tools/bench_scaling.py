@@ -30,6 +30,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", type=int, default=0,
                     help="emulate N virtual CPU devices")
+    ap.add_argument("--pipeline", choices=["visual", "coupled"], default=None,
+                    help="measure the FULL keyframe pipeline (fused update "
+                    "step / coupled solve) with keyframe-sharded video "
+                    "buffers, one subprocess per mesh size")
+    ap.add_argument("--pipeline-worker", choices=["visual", "coupled"],
+                    default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--devices", type=int, default=1, help=argparse.SUPPRESS)
+    ap.add_argument("--frames", type=int, default=46)
     ap.add_argument("--edges", type=int, default=384,
                     help="total covisibility edges (weak point: 48/window)")
     ap.add_argument("--window", type=int, default=24)
@@ -43,6 +51,10 @@ def main():
     ap.add_argument("--devices-per-host", type=int, default=2)
     args = ap.parse_args()
 
+    if args.pipeline_worker:
+        return main_pipeline_worker(args)
+    if args.pipeline:
+        return main_pipeline(args)
     if args.multihost:
         return main_multihost(args)
 
@@ -210,6 +222,158 @@ def main_multihost(args):
         print(json.dumps(row), flush=True)
         n *= 2
     return results
+
+
+def main_pipeline(args):
+    """Full-pipeline scaling: one subprocess per mesh size (the device
+    count must be fixed before backend init), each running the synthetic-
+    oracle SLAM system with keyframe-sharded video buffers
+    (cfg.shard_video; tests/test_shard_video.py proves trajectory
+    equivalence) and reporting steady-state keyframes/sec.  Under CPU
+    emulation (``emulated: true``) the virtual devices share cores, so
+    the efficiency column validates collective overhead, not speedup; on
+    real multi-chip hardware the same rows measure true ICI scaling."""
+    import subprocess
+
+    n_max = args.cpu or 8
+    sizes = []
+    n = 1
+    while n <= n_max:
+        sizes.append(n)
+        n *= 2
+    base = None
+    results = []
+    for n in sizes:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--pipeline-worker", args.pipeline, "--devices", str(n),
+             "--frames", str(args.frames)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1] if "{" in out.stdout else None
+        if line is None:
+            print(f"# worker n={n} failed:\n{out.stderr[-2000:]}",
+                  flush=True)
+            continue
+        r = json.loads(line)
+        if base is None:
+            base = r["value"]
+        row = {
+            "metric": f"pipeline_{args.pipeline}_keyframes_per_sec",
+            "devices": n,
+            "value": r["value"],
+            "unit": "keyframes/s",
+            "scaling_efficiency": round(r["value"] / (base * n), 3),
+            "emulated": bool(args.cpu),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+def main_pipeline_worker(args):
+    """One mesh size of the pipeline scaling bench (subprocess entry)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dbaf_tpu.eval import synthetic as syn
+    from dbaf_tpu.slam.frontend import Frontend
+    from dbaf_tpu.slam.graph import CovisibleGraph
+    from dbaf_tpu.slam.video import DepthVideo
+    from dbaf_tpu.utils.config import (
+        BAConfig, DBAFusionConfig, FrontendConfig, GraphConfig,
+    )
+
+    assert len(jax.devices()) >= args.devices, (
+        len(jax.devices()), args.devices)
+    h8, w8 = 8, 16
+    coupled = args.pipeline_worker == "coupled"
+    cfg = DBAFusionConfig(
+        image_size=(8 * h8, 8 * w8), buffer=48,
+        graph=GraphConfig(
+            max_factors=40, edge_capacity=72, inactive_capacity=72,
+            frontend_window=5, frontend_radius=2, frontend_nms=1,
+            frontend_thresh=20.0, max_age=25, inac_range=3,
+            far_threshold=-1.0, mask_threshold=-1.0,
+        ),
+        frontend=FrontendConfig(
+            warmup=8, keyframe_thresh=-1.0, filter_thresh=0.0,
+            iters1=2, iters2=1, init_iters=4, rollup_start=1000,
+            rollup_shift=8, active_window=12,
+            vi_warmup=12 if coupled else 1000,
+        ),
+        ba=BAConfig(window=32, iters=2),
+    )
+    cfg = dataclasses.replace(cfg, shard_video=args.devices > 1)
+    if coupled:
+        cfg.sensors.device_solver = True
+        cfg.sensors.coupled_mega = True
+        cfg.sensors.coupled_async = True
+
+    n = args.frames
+    intr = np.asarray([16.0, 16.0, w8 / 2, h8 / 2], np.float32)
+    imu_rows, poses_at = syn.simulate_imu_and_poses(n / 10.0 + 0.5)
+    gt_cw, gt_disps = syn.scene_from_poses(poses_at, n, intr, h8, w8)
+
+    video = DepthVideo(cfg)
+    id_map = np.zeros(cfg.buffer, np.int32)
+    oracle = syn.make_oracle(gt_cw, gt_disps, intr)
+    graph = CovisibleGraph(video, oracle, cfg)
+    if coupled:
+        from dbaf_tpu.fusion.se3np import Pose
+        from dbaf_tpu.slam.coupled import MultiSensorBA
+
+        ms = MultiSensorBA(video, cfg)
+        ms.Tbc = Pose()
+        ms.state.set_imu_params([0.05, 0.005, 1e-4, 1e-6])
+        graph.coupled = ms
+    frontend = Frontend(video, graph, cfg)
+    if coupled:
+        frontend.set_multisensor(imu_rows, visual_only=False)
+    intr8 = jnp.asarray(intr, jnp.float32)
+    feats = jnp.asarray(
+        np.random.default_rng(7).standard_normal((40, h8, w8, 128)),
+        jnp.bfloat16,
+    )
+
+    def feed(k):
+        idx = video.counter
+        f = feats[k % 40]
+        video.append(k / 10.0 if coupled else float(k), None, None, None,
+                     None, intr8, f, f, f)
+        id_map[idx] = k
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+        frontend()
+        id_map[: video.counter] = np.round(
+            video.tstamp[: video.counter] * (10.0 if coupled else 1.0)
+        ).astype(np.int32)
+        graph.aux = {"id_map": jnp.asarray(id_map)}
+
+    n_meas = max(10, n - 30)
+    for k in range(n - n_meas):
+        feed(k)
+    jax.block_until_ready(video.poses)
+    t0 = time.perf_counter()
+    for k in range(n - n_meas, n):
+        feed(k)
+    frontend.drain_async()
+    jax.block_until_ready(video.poses)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "pipeline_worker", "devices": args.devices,
+        "value": round(n_meas / dt, 3), "unit": "keyframes/s",
+    }), flush=True)
 
 
 if __name__ == "__main__":
