@@ -1,0 +1,157 @@
+"""Full-system golden trace: converted-checkpoint weights driving the
+whole net + corr + DBA chain on a fixed synthetic stream.
+
+The per-module parity tests (test_net.py, test_convert_checkpoint.py)
+validate each piece against a torch replica; this trace guards the
+COMPOSITION: weights in the reference's published checkpoint format
+(module.-prefixed torch state dict, 3-channel heads --
+/root/reference/dbaf/dbaf.py:38-48) are generated deterministically from
+a committed key manifest, converted through models/convert.py, and run
+through the full DBAFusion facade (motion filter, fused update kernel,
+dense BA, culling) on a procedural image stream.  The recorded f32
+trajectory/disparity/feature statistics are committed as data
+(tests/data/golden_trace.npz) and asserted WITHOUT torch -- the
+strongest checkpoint-surgery risk reduction available in an image that
+ships no real droid.pth.
+
+Any semantic drift anywhere in the chain (key translation, conv-head
+fusion, NHWC repacking, correlation numerics, BA linearization) moves
+the trace far beyond the asserted tolerances, which themselves sit well
+above CPU thread-scheduling noise (measured < 1e-5).
+
+Regenerate after an INTENDED numerics change (use the test-suite env):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_ENABLE_X64=0 \
+        python tests/test_golden_trace.py --regen
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+H, W = 64, 96
+SEED = 20260820
+
+
+def synth_state_dict():
+    """Reference-format checkpoint content, deterministically generated
+    from the committed key manifest (extracted once from the torch
+    replica's state_dict; includes every published key incl. the GraphAgg
+    head and num_batches_tracked counters)."""
+    with open(os.path.join(DATA, "droid_sd_manifest.json")) as f:
+        manifest = json.load(f)
+    rng = np.random.default_rng(SEED)
+    sd = {}
+    for key, shape in manifest:
+        shape = tuple(shape)
+        if key.endswith("num_batches_tracked") or not shape:
+            sd[key] = np.zeros(shape, np.int64)
+        elif len(shape) == 4:  # conv OIHW: he-ish scale keeps activations sane
+            fan_in = shape[1] * shape[2] * shape[3]
+            sd[key] = (rng.standard_normal(shape) / np.sqrt(fan_in)).astype(
+                np.float32)
+        elif len(shape) == 1 and key.endswith(".weight"):  # norm scales
+            sd[key] = (1.0 + 0.1 * rng.standard_normal(shape)).astype(
+                np.float32)
+        elif len(shape) == 1:  # biases / norm shifts / running stats
+            sd[key] = (0.02 * rng.standard_normal(shape)).astype(np.float32)
+        else:
+            sd[key] = (0.1 * rng.standard_normal(shape)).astype(np.float32)
+    return sd
+
+
+def frame(k: int) -> np.ndarray:
+    """Procedural textured frame with smooth per-frame warp (uint8 BGR)."""
+    y, x = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.zeros((H, W, 3))
+    for c, (fx, fy, ph) in enumerate(((0.31, 0.17, 0.0), (0.12, 0.41, 1.3),
+                                      (0.23, 0.29, 2.1))):
+        img[..., c] = np.sin(fx * (x + 3.0 * k) + fy * (y + 1.5 * k) + ph)
+    img += (0.4 * np.sin(0.05 * (x + 5.0 * k)) * np.cos(0.07 * y))[..., None]
+    return np.clip(127.5 + 90.0 * img, 0, 255).astype(np.uint8)
+
+
+def run_trace():
+    from dbaf_tpu.models.convert import convert_state_dict, validate_params
+    from dbaf_tpu.slam.system import DBAFusion
+    from dbaf_tpu.utils.config import (
+        BAConfig, DBAFusionConfig, FrontendConfig, GraphConfig,
+    )
+
+    params = convert_state_dict(synth_state_dict())
+    validate_params(params)
+
+    cfg = DBAFusionConfig(
+        image_size=(H, W), buffer=24,
+        graph=GraphConfig(
+            max_factors=32, edge_capacity=48, inactive_capacity=48,
+            frontend_window=5, frontend_radius=2, frontend_nms=1,
+            frontend_thresh=20.0, max_age=25, inac_range=3,
+            far_threshold=-1.0, mask_threshold=-1.0,
+        ),
+        frontend=FrontendConfig(
+            warmup=8, keyframe_thresh=-1.0, filter_thresh=0.0,
+            iters1=2, iters2=1, init_iters=4, rollup_start=1000,
+            rollup_shift=8, active_window=12,
+        ),
+        ba=BAConfig(window=20, iters=2),
+    )
+    system = DBAFusion(cfg, params=params)
+    intr = np.asarray([70.0, 70.0, W / 2, H / 2], np.float32)
+    n = 16
+    for k in range(n):
+        system.track(float(k), frame(k), intrinsics=intr)
+    traj = system.terminate()
+    t1 = system.frontend.t1
+    disps = np.asarray(system.video.disps[:t1])
+    fmap0 = np.asarray(system.video.fmaps[0], np.float32)
+    return {
+        "traj": np.asarray(traj, np.float32),
+        "disp_mean": disps.mean(axis=(1, 2)).astype(np.float32),
+        "disp_std": disps.std(axis=(1, 2)).astype(np.float32),
+        "fmap0_mean": np.float32(fmap0.mean()),
+        "fmap0_absmean": np.float32(np.abs(fmap0).mean()),
+        "fmap0_slice": fmap0[2, 3, :8].astype(np.float32),
+    }
+
+
+@pytest.mark.slow
+def test_full_system_golden_trace():
+    got = run_trace()
+    ref = np.load(os.path.join(DATA, "golden_trace.npz"))
+    assert got["traj"].shape == ref["traj"].shape
+    # feature encoder output: pure feed-forward, tightest bound
+    np.testing.assert_allclose(
+        got["fmap0_slice"], ref["fmap0_slice"], atol=1e-4)
+    np.testing.assert_allclose(
+        got["fmap0_absmean"], ref["fmap0_absmean"], rtol=1e-4)
+    # trajectory and structure: run-to-run noise under the fixed test env
+    # is < 1e-5, but XLA re-compilation across environments (e.g. the
+    # virtual device count) shifts the amplified BA chain by ~2e-3;
+    # 5e-3 rides above that while any semantic drift in the
+    # convert/net/corr/DBA chain moves these by orders of magnitude more
+    np.testing.assert_allclose(got["traj"], ref["traj"], atol=5e-3)
+    np.testing.assert_allclose(
+        got["disp_mean"], ref["disp_mean"], atol=5e-3)
+    np.testing.assert_allclose(got["disp_std"], ref["disp_std"], atol=5e-3)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if "--regen" in sys.argv:
+        out = run_trace()
+        np.savez(os.path.join(DATA, "golden_trace.npz"), **out)
+        print("wrote", os.path.join(DATA, "golden_trace.npz"))
+        for k, v in out.items():
+            print(k, np.asarray(v).shape)
+    else:
+        print(__doc__)
