@@ -38,9 +38,14 @@ W_POSE, W_RES, W_FLOW = 10.0, 0.01, 0.05
 def make_optimizer(lr: float = 2.5e-4, total_steps: int = 250_000,
                    clip: float = 2.5):
     """AdamW + one-cycle-style linear warmup/decay + global-norm clip."""
+    # keep every onecycle segment >= 1 step: a sub-step warmup segment
+    # (pct_start * total_steps < 1) makes the piecewise interpolation
+    # divide by a zero-length interval -> NaN lr on the first update
+    pct_start = max(0.01, 1.0 / max(total_steps, 2))
     sched = optax.linear_onecycle_schedule(
-        transition_steps=total_steps, peak_value=lr, pct_start=0.01,
-        pct_final=0.7, div_factor=25.0, final_div_factor=1e4,
+        transition_steps=total_steps, peak_value=lr, pct_start=pct_start,
+        pct_final=max(0.7, pct_start + 1.0 / max(total_steps, 2)),
+        div_factor=25.0, final_div_factor=1e4,
     )
     return optax.chain(
         optax.clip_by_global_norm(clip),

@@ -146,6 +146,7 @@ def test_async_matches_sync():
     np.testing.assert_allclose(p_async, p_sync, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_async_matches_sync_with_culls():
     """Keyframe culls (keyframe_thresh >= 0) run in-kernel on the async
     path (deferred prev_cull); the result must bit-match the synchronous
@@ -162,6 +163,7 @@ def test_async_matches_sync_with_culls():
     np.testing.assert_allclose(p_a, p_s, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_async_matches_sync_with_rollups():
     """Rollup runs in-kernel on the async path (VERDICT r3 item 2): the
     pipeline must NOT drain, and the result must bit-match the

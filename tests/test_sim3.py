@@ -5,6 +5,7 @@ there served by lietorch.Sim3)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from dbaf_tpu.ops import lie, projective as pj, sim3
 
@@ -138,6 +139,7 @@ def test_projective_transform_sim3(rng):
                 )
 
 
+@pytest.mark.slow
 def test_projection_jacobians_sim3_vs_autodiff(rng):
     """Ji/Jj/Jz columns == jacfwd of the reprojection under the kernel's
     left-perturbation convention (pose_j <- exp(xi) pose_j etc.)."""

@@ -166,3 +166,52 @@ def test_full_train_step_sharded_matches_single(rng):
     moved = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+@pytest.mark.slow
+def test_training_objective_decreases(rng):
+    """Optimizing the unrolled objective on a fixed tiny batch must make
+    real progress (not just produce one finite forward/backward): 8 adamw
+    steps on the same covisible tuple cut the loss by >15%."""
+    from dbaf_tpu.train.trainer import make_optimizer, make_train_step
+
+    n_frames, h8, w8 = 4, 6, 8
+    model = DroidNet(dtype=jnp.float32)
+    probe = jnp.zeros((1, 8 * h8, 8 * w8, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), probe, method=model.extract_features
+    )["params"]
+    uparams = model.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((2, h8, w8, 128)), jnp.zeros((2, h8, w8, 128)),
+        jnp.zeros((2, h8, w8, 196)), jnp.zeros((2, h8, w8, 4)),
+        jnp.asarray([0, 1]), 2,
+        method=model.update_with_agg,
+    )["params"]
+    params = {**params, **uparams}
+
+    poses_gt, disps_gt, intr, ii, jj = _tiny_problem(rng, n_frames, h8, w8)
+    sample = dict(
+        images=jnp.asarray(
+            rng.integers(0, 255, size=(n_frames, 8 * h8, 8 * w8, 3)),
+            jnp.float32),
+        poses0=jnp.tile(lie.se3_identity()[None], (n_frames, 1)),
+        disps0=jnp.ones((n_frames, h8, w8), jnp.float32),
+        poses_gt=poses_gt, disps_gt=disps_gt, intrinsics=intr,
+        ii=ii, jj=jj,
+    )
+    batch = {k: v[None] for k, v in sample.items()}
+
+    # total_steps must keep pct_start*total >= 1 (a sub-step warmup
+    # segment makes linear_onecycle interpolate over a zero interval ->
+    # NaN lr); 400 puts 8 steps inside a sane ramp
+    tx = make_optimizer(lr=2e-3, total_steps=400)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, num_steps=1)
+
+    hist = []
+    for _ in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        hist.append(float(metrics["loss"]))
+    assert all(np.isfinite(hist)), hist
+    assert min(hist[4:]) < 0.85 * hist[0], hist
