@@ -844,6 +844,7 @@ class CoupledAsync:
         self.steps = 0
         self.pending.clear()
         self._last_t1 = fe.t1  # == coupled.last_t1 (can_activate gate)
+        self._drained_cull = False  # cull flag of the last-drained pack
 
     # ------------------------------------------------------------------
     def step(self, cur_t: float):
@@ -889,7 +890,7 @@ class CoupledAsync:
         # lagged pack drain (one pull/keyframe; overlaps this dispatch's
         # device compute): mirror the PREVIOUS step's cull into the host
         # bookkeeping before the next pack is built
-        self.pending.append((pack, t1))
+        self.pending.append((pack, t1, cur_t))
         if len(self.pending) > 1:
             self._drain_one()
         # replay the kernel's in-kernel rollup decision (do_roll = post-
@@ -918,14 +919,49 @@ class CoupledAsync:
 
     # ------------------------------------------------------------------
     def _drain_one(self):
-        pack_dev, _t1_at = self.pending.pop(0)
+        pack_dev, t1_at, cur_t = self.pending.pop(0)
         pack = np.asarray(pack_dev)
+        self._monitor_from_pack(pack, t1_at, cur_t)
         if pack[0] > 0.5:
             # the culled frame is ALWAYS the third-newest at drain time:
             # the cull removed the then-second-newest keyframe, exactly
             # one frame has been appended since (lag 1), and drains are
             # strictly ordered -- robust across consecutive culls
             self._host_apply_cull(self.fe.t1 - 3)
+        self._drained_cull = bool(pack[0] > 0.5)
+
+    def _monitor_from_pack(self, pack: np.ndarray, t1_at: int,
+                           cur_t: float):
+        """Feed the file-dump monitor from the lagged drain pack -- the
+        flagship pipeline's observability costs no extra pull (VERDICT r3
+        weak 8): the pack already carries the decision-time body pose and
+        the solved window state (biases).  Rows lag the solve by the
+        pipeline depth (one keyframe)."""
+        fe = self.fe
+        mon = fe.monitor
+        if mon is None:
+            return
+        NW = self.cfg.sensors.fg_cap
+        fc = self.cfg.frontend
+        # pack tail layout (make_coupled_step):
+        # [... | state(NW*21) | wtb_dec(12) | t0_c]
+        t0_c = int(pack[-1])
+        wtb = pack[-13:-1]
+        rows = pack[-(13 + NW * 21):-13].reshape(NW, 21)
+        # kernel-side keyframe count at this step: the host's t1 at
+        # dispatch, minus the PREVIOUS pack's cull (resolved in-kernel at
+        # this step's start), minus this step's own in-kernel roll
+        t1_k = t1_at - int(self._drained_cull)
+        rolled = t1_k > fc.rollup_start
+        if rolled:
+            t1_k -= fc.rollup_shift
+        r = int(np.clip(t1_k - 1 - t0_c, 0, NW - 1))
+        T = np.eye(4)
+        T[:3, :3] = wtb[:9].reshape(3, 3)
+        T[:3, 3] = wtb[9:12]
+        mon.record_keyframe(cur_t, T, gyro_bias=rows[r, 18:21])
+        if rolled:
+            mon.dump_summary()
 
     def _host_roll(self, roll: int):
         """Mirror an in-kernel rollup (of the step just dispatched) into

@@ -76,7 +76,10 @@ class Frontend:
         if getattr(fc, "monitor_dir", ""):
             from ..eval.monitor import Monitor
 
-            self.monitor = Monitor(fc.monitor_dir)
+            self.monitor = Monitor(
+                fc.monitor_dir,
+                debug_views=getattr(fc, "monitor_debug", True),
+            )
 
         if self.visual_only:
             self.iters1, self.iters2 = fc.iters1, fc.iters2
@@ -536,8 +539,12 @@ class Frontend:
         (slam/coupled_async.py scope gates)."""
         if not getattr(self.cfg.sensors, "coupled_async", False):
             return
-        if self.monitor is not None:
-            return  # monitor needs per-keyframe host state: stay synchronous
+        # the monitor is compatible with the pipeline: keyframe rows are
+        # fed from the lagged drain pack (CoupledAsync._monitor_from_pack,
+        # zero extra pulls); only the edge-state debug views stay a
+        # synchronous-flow feature
+        if self.monitor is not None and self.monitor.debug_views:
+            return
         if self._casync is None:
             from .coupled_async import CoupledAsync
 

@@ -72,8 +72,13 @@ class FrontendConfig:
     # the lagged rollup trigger keeps buffer headroom.
     monitor_dir: str = ""            # when set, dump the reference's live
     # monitor panels + debug views as PNGs there (dbaf_frontend.py:76-83,
-    # 278-314; covisible_graph.py:252-307); forces the synchronous paths
-    # (eval/monitor.py)
+    # 278-314; covisible_graph.py:252-307) (eval/monitor.py)
+    monitor_debug: bool = True       # include the edge-state debug views
+    # (disparity/flow-weight/covisibility).  They need per-keyframe host
+    # edge state, so monitor_debug=True forces the synchronous paths;
+    # with False the trajectory/attitude/bias panels are fed from the
+    # coupled pipeline's lagged drain pack at ZERO extra pulls and the
+    # flagship async mode stays active.
 
 
 @dataclass
