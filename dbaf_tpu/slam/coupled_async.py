@@ -1056,7 +1056,8 @@ class CoupledAsync:
         if pend_cull:
             # drop the culled window row (the host merge_keyframe list
             # deletion) so sync_host maps rows onto the merged state
-            rows = np.asarray(jax.device_get(fg_flat)).reshape(NW, 21)
+            # device_get may hand back a read-only buffer view: copy
+            rows = np.array(jax.device_get(fg_flat)).reshape(NW, 21)
             rows[t1 - 2 - o: -1] = rows[t1 - 1 - o:]
             coupled._fg_rows_np = rows.reshape(-1)
             coupled._fg_key = (o, t1 - 1)
