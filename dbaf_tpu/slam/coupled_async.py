@@ -73,7 +73,7 @@ from ..fusion import preint_device as pint
 from ..ops import lie
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
-from .coupled_fused import MAX_ROUNDS, run_coupled_rounds
+from .coupled_fused import run_coupled_rounds
 from .edge_select import _stable_compact, cull_transition, edge_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive
 

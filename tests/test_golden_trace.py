@@ -28,7 +28,6 @@ import json
 import os
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
