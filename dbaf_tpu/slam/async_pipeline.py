@@ -41,7 +41,7 @@ import numpy as np
 from ..ops import corr as corr_ops
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
-from .edge_select import _stable_compact, cull_transition, edge_transition
+from .edge_select import cull_transition, edge_transition, roll_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive, \
     make_update_kernel
 
@@ -251,7 +251,6 @@ def make_step_kernel(
         # never drains for a rollup.
         do_roll = t1n > roll_start
         I = ii_i.shape[0]
-        bcn = bad_ii.shape[0]
 
         def _apply_roll(op):
             (poses, disps, disps_sens, damping,
@@ -269,35 +268,19 @@ def make_step_kernel(
             # (graph.shift_indices)
             ii2 = ii2 - r
             jj2 = jj2 - r
-            # inactive store: drop rows going negative + compact
-            keep = i_valid2 & (ii_i2 >= r) & (jj_i2 >= r)
-            pos, n_k = _stable_compact(keep)
-            tgt = jnp.where(keep, pos, I + 1)
-            ar_i = jnp.arange(I, dtype=jnp.int32)
-            new_ii_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                (ii_i2 - r).astype(jnp.int32), mode="drop")
-            new_jj_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                (jj_i2 - r).astype(jnp.int32), mode="drop")
-            perm_old = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                ar_i, mode="drop")
+            # inactive/bad stores: drop negatives + compact + re-index
+            # (shared in-kernel twin of graph.shift_indices)
+            rt = roll_transition(ii_i2, jj_i2, i_valid2,
+                                 bad_ii, bad_jj, bad_valid, r)
             t_inac, w_inac = _rebuild_inactive(
-                t_inac, w_inac, perm_old, jnp.zeros((I,), bool),
-                jnp.zeros((I,), jnp.int32), edges.target, edges.weight)
-            i_valid2 = ar_i < n_k
-            # bad-edge store: drop negatives + compact
-            keep_b = bad_valid & (bad_ii >= r) & (bad_jj >= r)
-            pos_b, n_b = _stable_compact(keep_b)
-            tgt_b = jnp.where(keep_b, pos_b, bcn + 1)
-            ar_b = jnp.arange(bcn, dtype=jnp.int32)
-            bad_ii = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
-                (bad_ii - r).astype(jnp.int32), mode="drop")
-            bad_jj = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
-                (bad_jj - r).astype(jnp.int32), mode="drop")
-            bad_valid = ar_b < n_b
+                t_inac, w_inac, rt["inact_perm_old"],
+                jnp.zeros((I,), bool), jnp.zeros((I,), jnp.int32),
+                edges.target, edges.weight)
             return (poses, disps, disps_sens, damping,
                     fmaps_buf, nets_buf, inps_buf,
-                    ii2, jj2, new_ii_i, new_jj_i, i_valid2,
-                    bad_ii, bad_jj, bad_valid, t_inac, w_inac, t1n - r)
+                    ii2, jj2, rt["ii_i"], rt["jj_i"], rt["i_valid"],
+                    rt["bad_ii"], rt["bad_jj"], rt["bad_valid"],
+                    t_inac, w_inac, t1n - r)
 
         (poses, disps, disps_sens, damping,
          fmaps_buf, nets_buf, inps_buf,

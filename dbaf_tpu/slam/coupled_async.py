@@ -74,7 +74,7 @@ from ..ops import lie
 from ..ops import projective as pj
 from ..utils.config import DBAFusionConfig
 from .coupled_fused import run_coupled_rounds
-from .edge_select import _stable_compact, cull_transition, edge_transition
+from .edge_select import cull_transition, edge_transition, roll_transition
 from .graph import EdgeArrays, _rebuild_edges, _rebuild_inactive
 
 
@@ -521,39 +521,21 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
                 if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_ else a,
                 aux,
             )
-            # inactive store: drop rows going negative + compact
-            # (graph.shift_indices); active edges stay nonnegative by the
-            # config rule rollup_start - rollup_shift >= active_window
-            # (checked at activation)
+            # inactive/bad stores: drop negatives + compact + re-index
+            # (shared in-kernel twin of graph.shift_indices); active edges
+            # stay nonnegative by the config rule rollup_start -
+            # rollup_shift >= active_window (checked at activation)
             I = ii_i2.shape[0]
-            keep = i_valid2 & (ii_i2 >= r) & (jj_i2 >= r)
-            pos, n_k = _stable_compact(keep)
-            tgt = jnp.where(keep, pos, I + 1)
-            ar_i = jnp.arange(I, dtype=jnp.int32)
-            new_ii_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                (ii_i2 - r).astype(jnp.int32), mode="drop")
-            new_jj_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                (jj_i2 - r).astype(jnp.int32), mode="drop")
-            perm_old = jnp.zeros((I,), jnp.int32).at[tgt].set(
-                ar_i, mode="drop")
+            rt = roll_transition(ii_i2, jj_i2, i_valid2,
+                                 bad_ii, bad_jj, bad_valid, r)
             t_inac2, w_inac2 = _rebuild_inactive(
-                t_inac2, w_inac2, perm_old, jnp.zeros((I,), bool),
-                jnp.zeros((I,), jnp.int32), edges.target, edges.weight)
-            i_valid2 = ar_i < n_k
-            # bad store: drop negatives + compact
-            bcn = bad_ii.shape[0]
-            keep_b = bad_valid & (bad_ii >= r) & (bad_jj >= r)
-            pos_b, n_b = _stable_compact(keep_b)
-            tgt_b = jnp.where(keep_b, pos_b, bcn + 1)
-            ar_b = jnp.arange(bcn, dtype=jnp.int32)
-            bad_ii = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
-                (bad_ii - r).astype(jnp.int32), mode="drop")
-            bad_jj = jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
-                (bad_jj - r).astype(jnp.int32), mode="drop")
-            bad_valid = ar_b < n_b
+                t_inac2, w_inac2, rt["inact_perm_old"],
+                jnp.zeros((I,), bool), jnp.zeros((I,), jnp.int32),
+                edges.target, edges.weight)
             return (poses, disps, disps_sens, damping,
                     fmaps_buf, nets_buf, inps_buf, aux,
-                    new_ii_i, new_jj_i, i_valid2, bad_ii, bad_jj, bad_valid,
+                    rt["ii_i"], rt["jj_i"], rt["i_valid"],
+                    rt["bad_ii"], rt["bad_jj"], rt["bad_valid"],
                     t_inac2, w_inac2)
 
         (poses, disps, disps_sens, damping,
@@ -921,6 +903,7 @@ class CoupledAsync:
     def _drain_one(self):
         pack_dev, t1_at, cur_t = self.pending.pop(0)
         pack = np.asarray(pack_dev)
+        self._refresh_mirrors_from_pack(pack, t1_at)
         self._monitor_from_pack(pack, t1_at, cur_t)
         if pack[0] > 0.5:
             # the culled frame is ALWAYS the third-newest at drain time:
@@ -929,6 +912,57 @@ class CoupledAsync:
             # strictly ordered -- robust across consecutive culls
             self._host_apply_cull(self.fe.t1 - 3)
         self._drained_cull = bool(pack[0] > 0.5)
+
+    def _parse_pack(self, pack: np.ndarray, t1_at: int):
+        """Decode the lagged drain pack's tail.  Layout
+        (make_coupled_step): [... | state(NW*21) | wtb_dec(12) | t0_c].
+        The kernel-side keyframe count at that step is the host's t1 at
+        dispatch, minus the PREVIOUS pack's cull (resolved in-kernel at
+        the step's start), minus the step's own in-kernel roll; the
+        kernel's post-roll numbering equals the host's numbering at drain
+        time (the host replayed the roll right after dispatching)."""
+        NW = self.cfg.sensors.fg_cap
+        fc = self.cfg.frontend
+        t0_c = int(pack[-1])
+        wtb = pack[-13:-1]
+        rows = pack[-(13 + NW * 21):-13].reshape(NW, 21)
+        t1_k = t1_at - int(self._drained_cull)
+        rolled = t1_k > fc.rollup_start
+        if rolled:
+            t1_k -= fc.rollup_shift
+        return t0_c, wtb, rows, t1_k, rolled
+
+    def _refresh_mirrors_from_pack(self, pack: np.ndarray, t1_at: int):
+        """Mirror the solved window state of the drained pack into the
+        host MultiSensorState (wTbs/vs/bs) -- the async counterpart of the
+        sync flow's per-keyframe sync_host, at zero extra pulls (the pack
+        is on host anyway).  Keeps the ZUPT admission gate, the GNSS
+        lever-arm correction, and the preintegration linearization biases
+        at a bounded one-keyframe lag instead of dead-reckoning from the
+        activation-time solve; frames appended after the drained step are
+        re-predicted from the refreshed states."""
+        from ..fusion.preintegration import NavState
+        from ..fusion.se3np import Pose
+
+        ms = self.fe.coupled.state
+        t0_c, _wtb, rows, t1_k, _rolled = self._parse_pack(pack, t1_at)
+        n = len(ms)
+        for i in range(max(t0_c, 0), min(t1_k, n)):
+            row = np.asarray(rows[i - t0_c], np.float64)
+            ms.wTbs[i] = Pose(row[:9].reshape(3, 3), row[9:12])
+            ms.vs[i] = row[12:15]
+            ms.bs[i] = row[15:21]
+        # in-flight frames (appended since that step) were IMU-propagated
+        # from the old mirrors: re-predict from the refreshed states
+        for i in range(min(t1_k, n), n):
+            if i < 1:
+                continue
+            pim = ms.preintegrations[i - 1]
+            prev = NavState(ms.wTbs[i - 1], ms.vs[i - 1])
+            prop = prev if pim.dt > 1.0 else pim.predict(prev, ms.bs[i - 1])
+            ms.wTbs[i] = prop.pose
+            ms.vs[i] = prop.vel
+            ms.bs[i] = ms.bs[i - 1].copy()
 
     def _monitor_from_pack(self, pack: np.ndarray, t1_at: int,
                            cur_t: float):
@@ -942,19 +976,7 @@ class CoupledAsync:
         if mon is None:
             return
         NW = self.cfg.sensors.fg_cap
-        fc = self.cfg.frontend
-        # pack tail layout (make_coupled_step):
-        # [... | state(NW*21) | wtb_dec(12) | t0_c]
-        t0_c = int(pack[-1])
-        wtb = pack[-13:-1]
-        rows = pack[-(13 + NW * 21):-13].reshape(NW, 21)
-        # kernel-side keyframe count at this step: the host's t1 at
-        # dispatch, minus the PREVIOUS pack's cull (resolved in-kernel at
-        # this step's start), minus this step's own in-kernel roll
-        t1_k = t1_at - int(self._drained_cull)
-        rolled = t1_k > fc.rollup_start
-        if rolled:
-            t1_k -= fc.rollup_shift
+        t0_c, wtb, rows, t1_k, rolled = self._parse_pack(pack, t1_at)
         r = int(np.clip(t1_k - 1 - t0_c, 0, NW - 1))
         T = np.eye(4)
         T[:3, :3] = wtb[:9].reshape(3, 3)
@@ -981,6 +1003,11 @@ class CoupledAsync:
                 setattr(v, name, _roll_buf(buf, roll))
         v.tstamp = np.roll(v.tstamp, -roll)
         v.images_small = np.roll(v.images_small, -roll, axis=0)
+        # slot-keyed aux leaves (e.g. a test oracle's id_map) are
+        # re-uploaded from graph.aux on every later step, so the host
+        # mirror must shift too (the kernel's in-step aux roll only
+        # covers the step the roll happened in) -- frontend._roll_aux
+        fe._roll_aux(roll)
         fe.coupled.state.rollup(roll)
         fe.t1 -= roll
         fe.count -= roll
@@ -1004,6 +1031,14 @@ class CoupledAsync:
         v.tstamp[c: n - 1] = v.tstamp[c + 1: n]
         if getattr(v, "images_small", None) is not None:
             v.images_small[c: n - 1] = v.images_small[c + 1: n]
+        # slot-keyed aux mirrors the same way as the roll (see _host_roll)
+        if fe.graph.aux:
+            B_ = self.cfg.buffer
+            fe.graph.aux = jax.tree_util.tree_map(
+                lambda a: _shift2_rows(a, c)
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_ else a,
+                fe.graph.aux,
+            )
         fe.coupled.state.merge_keyframe(c)
         fe.t1 -= 1
         v.counter = fe.t1
@@ -1029,7 +1064,12 @@ class CoupledAsync:
         in_flight = fe.t1 - t1  # 0 or 1
         # the one still-pending pack is the LAST step's; its cull flag is
         # the carried prev_cull, resolved wholesale below -- never via
-        # _drain_one (the device state has not applied it either)
+        # _drain_one (the device state has not applied it either).  Its
+        # monitor row would otherwise be silently dropped: record it
+        # before discarding (the pack pull is rare -- reinit/terminate).
+        if fe.monitor is not None and self.pending:
+            pack_dev, t1_at, cur_t = self.pending[-1]
+            self._monitor_from_pack(np.asarray(pack_dev), t1_at, cur_t)
         self.pending.clear()
         pend_cull = bool(np.asarray(st["prev_cull"]))
 

@@ -198,6 +198,43 @@ def _stable_compact(valid):
     return jnp.where(valid, pos, -1), jnp.sum(valid.astype(jnp.int32))
 
 
+def roll_transition(ii_i, jj_i, i_valid, bad_ii, bad_jj, bad_valid, r):
+    """Rollup re-indexing of the inactive and bad-edge stores: the
+    in-kernel twin of ``graph.shift_indices`` (entries whose indices go
+    negative drop, survivors compact stably and shift down by ``r``).
+    Shared by both async step kernels (slam/async_pipeline.py and
+    slam/coupled_async.py _apply_roll).
+
+    Returns a dict with the new ``ii_i/jj_i/i_valid`` plus
+    ``inact_perm_old`` (feed to ``graph._rebuild_inactive`` with
+    all-False from_act) and the compacted ``bad_ii/bad_jj/bad_valid``.
+    """
+    I = ii_i.shape[0]
+    keep = i_valid & (ii_i >= r) & (jj_i >= r)
+    pos, n_k = _stable_compact(keep)
+    tgt = jnp.where(keep, pos, I + 1)
+    ar_i = jnp.arange(I, dtype=jnp.int32)
+    new_ii_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+        (ii_i - r).astype(jnp.int32), mode="drop")
+    new_jj_i = jnp.zeros((I,), jnp.int32).at[tgt].set(
+        (jj_i - r).astype(jnp.int32), mode="drop")
+    perm_old = jnp.zeros((I,), jnp.int32).at[tgt].set(ar_i, mode="drop")
+    bcn = bad_ii.shape[0]
+    keep_b = bad_valid & (bad_ii >= r) & (bad_jj >= r)
+    pos_b, n_b = _stable_compact(keep_b)
+    tgt_b = jnp.where(keep_b, pos_b, bcn + 1)
+    ar_b = jnp.arange(bcn, dtype=jnp.int32)
+    return dict(
+        ii_i=new_ii_i, jj_i=new_jj_i, i_valid=ar_i < n_k,
+        inact_perm_old=perm_old,
+        bad_ii=jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+            (bad_ii - r).astype(jnp.int32), mode="drop"),
+        bad_jj=jnp.zeros((bcn,), jnp.int32).at[tgt_b].set(
+            (bad_jj - r).astype(jnp.int32), mode="drop"),
+        bad_valid=ar_b < n_b,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

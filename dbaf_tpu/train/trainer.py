@@ -38,15 +38,21 @@ W_POSE, W_RES, W_FLOW = 10.0, 0.01, 0.05
 def make_optimizer(lr: float = 2.5e-4, total_steps: int = 250_000,
                    clip: float = 2.5):
     """AdamW + one-cycle-style linear warmup/decay + global-norm clip."""
-    # keep every onecycle segment >= 1 step: a sub-step warmup segment
-    # (pct_start * total_steps < 1) makes the piecewise interpolation
-    # divide by a zero-length interval -> NaN lr on the first update
-    pct_start = max(0.01, 1.0 / max(total_steps, 2))
-    sched = optax.linear_onecycle_schedule(
-        transition_steps=total_steps, peak_value=lr, pct_start=pct_start,
-        pct_final=max(0.7, pct_start + 1.0 / max(total_steps, 2)),
-        div_factor=25.0, final_div_factor=1e4,
-    )
+    # keep every onecycle segment >= 1 step: a sub-step segment makes the
+    # piecewise interpolation divide by a zero-length interval -> NaN lr.
+    # Three segments (warmup / decay / final) need total_steps >= 3;
+    # below that a schedule is meaningless -- use a constant lr.
+    if total_steps < 3:
+        sched = lr
+    else:
+        pct_start = max(0.01, 1.0 / total_steps)
+        pct_final = min(max(0.7, pct_start + 1.0 / total_steps),
+                        1.0 - 1.0 / total_steps)
+        sched = optax.linear_onecycle_schedule(
+            transition_steps=total_steps, peak_value=lr,
+            pct_start=pct_start, pct_final=pct_final,
+            div_factor=25.0, final_div_factor=1e4,
+        )
     return optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(sched, weight_decay=1e-5),
