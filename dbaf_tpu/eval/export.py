@@ -80,17 +80,18 @@ def save_reconstruction(system, path: str):
     keyframes (requires cfg.save_pkl)."""
     v = system.video
     n_live = system.frontend.t1
+    lo = v.archive_mark  # live rows below it are already archived
     tstamps = np.asarray(
-        v.saved_tstamps + list(v.tstamp[:n_live])
+        v.saved_tstamps + list(v.tstamp[lo:n_live])
     )
     poses = np.asarray(
-        v.saved_poses + [np.asarray(v.poses[i]) for i in range(n_live)]
+        v.saved_poses + [np.asarray(v.poses[i]) for i in range(lo, n_live)]
     )
     disps = np.asarray(
-        v.saved_disps + [np.asarray(v.disps[i]) for i in range(n_live)]
+        v.saved_disps + [np.asarray(v.disps[i]) for i in range(lo, n_live)]
     )
     images = np.asarray(
-        v.saved_images + [v.images_small[i] for i in range(n_live)]
+        v.saved_images + [v.images_small[i] for i in range(lo, n_live)]
     )
     intr = np.asarray(v.intrinsics)
 

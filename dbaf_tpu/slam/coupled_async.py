@@ -27,8 +27,16 @@ disabled and the drain finds nothing to mirror -- the pull itself always
 overlaps compute).  Trajectory rows are device 7-vecs resolved at
 terminate.
 
-Scope: post-VI-init steady state, no save_pkl archival, high-freq output
-off.  GNSS/odometry/ZUPT factors are fully supported (v4): they ride the
+Scope: post-VI-init steady state.  save_pkl archival rides the pipeline
+(v5): the step kernel emits the rows an in-kernel rollup retires
+(``roll_out``, captured pre-roll) and the host archives them lazily at
+the next lagged drain -- the reference's dense-mapping export
+(dbaf.py:64-140) thus runs at flagship speed.  IMU-rate high-frequency
+output (``all_stamp``, dbaf_frontend.py:169-186) also stays on: the
+rows propagate host-side from the velocity/bias mirrors, which lag the
+device solve by the pipeline depth (ONE keyframe) -- the same bounded
+staleness the ZUPT gate sees.  GNSS/odometry/ZUPT factors are fully
+supported (v4): they ride the
 per-keyframe factor pack (fusion/device_graph.pack_graph_np already
 packs gnss/odo rows for the device solver), and on an in-kernel cull the
 culled frame's measurement is re-linked onto its predecessor inside the
@@ -298,6 +306,7 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
     gcfg = cfg.graph
     fc = cfg.frontend
     P = cfg.ba.window
+    SHIFT = int(fc.rollup_shift)  # static: shapes the roll-out capture
     wf = gcfg.frontend_window
     skip = tuple(gcfg.skip_edge) if wf == 5 else ()
     n_skip = len(skip)
@@ -318,14 +327,19 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
         mgd_mask, mgd_lin, mgd_H, mgd_v,
         cur_ii, cur_jj, cur_mask, cur_target, cur_weight,
         prev_cull,
-        # per-keyframe upload
-        pgf, h0, t1, aux, Tbc12, A,
+        # per-keyframe upload: ONE f32 blob [factor pack | h0 | t1] --
+        # separate scalar uploads cost ~0.5-2 ms each on the remote
+        # transport, so the per-step scalars ride the pack
+        pgf, aux, Tbc12, A,
         rounds_a, rounds_b, roll_start, roll_shift,
         # static
         iters: int, use_sens: bool,
     ):
         mgd = dg.MargDense(mgd_mask, mgd_lin, mgd_H, mgd_v)
-        pg_h0 = dg.unflatten_graph(pgf, NW)
+        G = dg.graph_flat_size(NW)
+        h0 = pgf[G].astype(jnp.int32)
+        t1 = pgf[G + 1].astype(jnp.int32)
+        pg_h0 = dg.unflatten_graph(pgf[:G], NW)
         rows = fg_flat.reshape(NW, 21)
 
         # ---- 0. deferred cull resolution (the cull decided by the LAST
@@ -503,6 +517,16 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
         # before the next step's pack is built, so no flag travels.
         do_roll = t1 > roll_start
         shift = jnp.where(do_roll, roll_shift, 0).astype(jnp.int32)
+        # save_pkl archival: the rows a roll would retire, captured
+        # BEFORE the in-kernel roll reuses their slots (the reference
+        # archives marginalized rows host-side, depth_video.py:336-343;
+        # in this pipeline the device marginal never surfaces, so
+        # retirement == the roll).  Always emitted (static shapes); the
+        # host only pulls it when it replays a roll with save_pkl on --
+        # unused outputs cost nothing on the lazy transport.
+        roll_out = jnp.concatenate(
+            [poses[:SHIFT], disps[:SHIFT].reshape(SHIFT, -1)], axis=1
+        ).astype(jnp.float32)
 
         def _apply_roll(op):
             (poses, disps, disps_sens, damping,
@@ -673,7 +697,7 @@ def make_coupled_step(update_raw, cfg: DBAFusionConfig, NW: int,
             # its lagged pack drain)
             prev_cull=cull,
         )
-        return state, pack, traj7
+        return state, pack, traj7, roll_out
 
     # donate the big carried operands (poses, disps, edge stores, inactive
     # stores, marg H, cur target/weight)
@@ -715,6 +739,9 @@ class CoupledAsync:
         # pipeline stays full (the kernel repairs the one stale upload
         # via its prev_cull branch).
         self.pending = []
+        # save_pkl roll-out archives awaiting their lazy device pull:
+        # [(tstamps, images, roll_out_dev, archive_mark_at_roll)]
+        self._pending_archive = []
 
     # ------------------------------------------------------------------
     def can_activate(self) -> bool:
@@ -745,11 +772,14 @@ class CoupledAsync:
             # mirror -- v2.  GNSS/odo/ZUPT factors ride the per-keyframe
             # pack and, on a cull, are re-linked into the device marginal
             # in-kernel -- v4; GNSS configs wait for georeferencing
-            # (init_gnss) since that alignment rewrites every pose)
-            and (len(fe.all_gnss) == 0 or coupled.gnss_init_time > 0.0)
-            and fe.all_stamp is None
-            and not cfg.save_pkl and not cfg.stereo
+            # (init_gnss) since that alignment rewrites every pose.
+            # save_pkl archival and IMU-rate high-freq output are carried
+            # by the pipeline -- v5: retired rows ride the kernel's
+            # roll_out output, high-freq rows propagate from the lagged
+            # host mirrors (one-keyframe lag, documented above))
+            and not cfg.stereo and not cfg.upsample
             and not fe.video.has_depth
+            and (len(fe.all_gnss) == 0 or coupled.gnss_init_time > 0.0)
             and len(coupled.prior_factor_map) == 0
             # capacity: the window can never outgrow the state buffer
             and NW >= fc.active_window + cfg.graph.inac_range + 4
@@ -827,6 +857,14 @@ class CoupledAsync:
         self.pending.clear()
         self._last_t1 = fe.t1  # == coupled.last_t1 (can_activate gate)
         self._drained_cull = False  # cull flag of the last-drained pack
+        # run-constant device scalars, uploaded ONCE (each per-step
+        # jnp.asarray(scalar) costs a transport round trip)
+        self._consts = (
+            jnp.asarray(fe.iters1, jnp.int32),
+            jnp.asarray(fe.iters2, jnp.int32),
+            jnp.asarray(cfg.frontend.rollup_start, jnp.int32),
+            jnp.asarray(cfg.frontend.rollup_shift, jnp.int32),
+        )
 
     # ------------------------------------------------------------------
     def step(self, cur_t: float):
@@ -847,17 +885,15 @@ class CoupledAsync:
         # [cull_dist, prox...][1:] -- state stores it that way already
         roll_start = cfg.frontend.rollup_start
         roll_shift = cfg.frontend.rollup_shift
-        state, pack, traj7 = self.kernel(
+        state, pack, traj7, roll_out = self.kernel(
             args[0], args[1], v.disps_sens, v.damping, v.intrinsics,
             v.fmaps, v.nets, v.inps, v.fmaps_right,
             *args[2:],
-            jnp.asarray(pgf), jnp.asarray(h0, jnp.int32),
-            jnp.asarray(t1, jnp.int32), g.aux,
+            jnp.asarray(np.concatenate(
+                [pgf, np.asarray([h0, t1], np.float32)])),
+            g.aux,
             coupled._Tbc12_dev(), coupled._A_block(),
-            jnp.asarray(fe.iters1, jnp.int32),
-            jnp.asarray(fe.iters2, jnp.int32),
-            jnp.asarray(roll_start, jnp.int32),
-            jnp.asarray(roll_shift, jnp.int32),
+            *self._consts,
             iters=cfg.ba.iters, use_sens=v.has_depth,
         )
         self.state = state
@@ -880,7 +916,7 @@ class CoupledAsync:
         # drain above) BEFORE the next step's pack is built -- the host
         # mirrors shift exactly once per kernel roll
         if fe.t1 > roll_start:
-            self._host_roll(roll_shift)
+            self._host_roll(roll_shift, roll_out)
         # effective solve-time keyframe count for sync(): when the kernel
         # resolved a lagged cull this step (prev_cull branch), the drain
         # above just mirrored it into fe.t1, so fe.t1 == the count the
@@ -900,9 +936,25 @@ class CoupledAsync:
         fe.trajectory.append((cur_t, traj7))
 
     # ------------------------------------------------------------------
+    def _resolve_archives(self):
+        """Pull any pending save_pkl roll-out rows (the steps that
+        produced them have long completed; this is pure transfer) and
+        append them to the video save buffers."""
+        v = self.fe.video
+        h8, w8 = v.h8, v.w8
+        while self._pending_archive:
+            tstamps, images, dev, mark0 = self._pending_archive.pop(0)
+            rows = np.asarray(dev)
+            for i in range(mark0, len(tstamps)):
+                v.saved_tstamps.append(float(tstamps[i]))
+                v.saved_poses.append(rows[i, :7].copy())
+                v.saved_disps.append(rows[i, 7:].reshape(h8, w8).copy())
+                v.saved_images.append(images[i].copy())
+
     def _drain_one(self):
         pack_dev, t1_at, cur_t = self.pending.pop(0)
         pack = np.asarray(pack_dev)
+        self._resolve_archives()
         self._refresh_mirrors_from_pack(pack, t1_at)
         self._monitor_from_pack(pack, t1_at, cur_t)
         if pack[0] > 0.5:
@@ -985,17 +1037,29 @@ class CoupledAsync:
         if rolled:
             mon.dump_summary()
 
-    def _host_roll(self, roll: int):
+    def _host_roll(self, roll: int, roll_out_dev=None):
         """Mirror an in-kernel rollup (of the step just dispatched) into
         the host state: the video slabs the kernel reads fresh per step,
         the host-only buffers, the MultiSensorState window, and the
         frontend counters.  poses/disps/edge stores are carried device-
         side -- the kernel's own roll block shifted those already.  Runs
-        BEFORE the next step's factor pack is built."""
+        BEFORE the next step's factor pack is built.
+
+        save_pkl: the retired rows' host halves (tstamp, image) are
+        captured here, pre-roll; their device halves (pose, disp) ride
+        the kernel's ``roll_out`` output and are pulled LAZILY at the
+        next lagged drain -- blocking on the just-dispatched step here
+        would stall the pipeline for a full step latency."""
         from .video import _roll as _roll_buf
 
         fe = self.fe
         v = fe.video
+        if self.cfg.save_pkl and roll_out_dev is not None:
+            self._pending_archive.append((
+                v.tstamp[:roll].copy(), v.images_small[:roll].copy(),
+                roll_out_dev, v.archive_mark,
+            ))
+            v.archive_mark = max(v.archive_mark - roll, 0)
         for name in ("disps_sens", "damping", "fmaps", "nets", "inps",
                      "fmaps_right", "disps_up"):
             buf = getattr(v, name, None)
@@ -1071,6 +1135,7 @@ class CoupledAsync:
             pack_dev, t1_at, cur_t = self.pending[-1]
             self._monitor_from_pack(np.asarray(pack_dev), t1_at, cur_t)
         self.pending.clear()
+        self._resolve_archives()
         pend_cull = bool(np.asarray(st["prev_cull"]))
 
         n = int(np.sum(np.asarray(st["e_valid"])))

@@ -185,6 +185,12 @@ class DepthVideo:
         self.saved_poses: List[np.ndarray] = []
         self.saved_disps: List[np.ndarray] = []
         self.saved_images: List[np.ndarray] = []
+        # live rows [0, archive_mark) are already in the save buffers
+        # (coupled marginalization archives at window advance, the
+        # reference's timing, depth_video.py:336-343; the rollup archives
+        # whatever retires unarchived).  Keeps rollup and the .pkl export
+        # from double-counting rows in coupled runs.
+        self.archive_mark = 0
         self.images_small = np.zeros((B, h8, w8, 3), dtype=np.uint8)
 
         self.imu_enabled = False
@@ -285,17 +291,22 @@ class DepthVideo:
         self.images_small[dst] = self.images_small[src]
 
     def archive(self, ix: int):
-        """Host-side save-buffer append for a marginalized keyframe."""
+        """Host-side save-buffer append for a marginalized keyframe
+        (depth_video.py:336-343 semantics)."""
         if not self.cfg.save_pkl:
             return
         self.saved_tstamps.append(float(self.tstamp[ix]))
         self.saved_poses.append(np.asarray(self.poses[ix]))
         self.saved_disps.append(np.asarray(self.disps[ix]))
         self.saved_images.append(self.images_small[ix].copy())
+        self.archive_mark = max(self.archive_mark, ix + 1)
 
     def rollup(self, shift: int):
-        """Shift the whole buffer down (dbaf_frontend.py:89-151)."""
-        for i in range(shift):
+        """Shift the whole buffer down (dbaf_frontend.py:89-151).  Rows
+        the coupled marginalization already archived are skipped (the
+        visual path archives everything here: its window-advance has no
+        archival hook, so retirement == rollup)."""
+        for i in range(self.archive_mark, shift):
             self.archive(i)
         for name in self._SHIFT_BUFFERS:
             buf = getattr(self, name)
@@ -304,6 +315,7 @@ class DepthVideo:
         self.tstamp = np.roll(self.tstamp, -shift)
         self.images_small = np.roll(self.images_small, -shift, axis=0)
         self.counter -= shift
+        self.archive_mark = max(self.archive_mark - shift, 0)
 
     # ------------------------------------------------------------------
     def distance(self, ii, jj, beta: float = 0.3) -> np.ndarray:
