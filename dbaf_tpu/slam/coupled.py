@@ -128,22 +128,33 @@ class MultiSensorBA:
             return
         graph = FactorGraph([self.marg_factor])
         values = Values(self.marg_factor.lin_point)
+
+        def res(key, mirror):
+            """cur_result entry, falling back to the host state mirror:
+            the async pipeline's drain path reaches here with cur_result
+            still at activation-time keys (the reference always has a
+            fresh solve in cur_result, depth_video.py:297-299; the
+            mirrors hold the same solved state one keyframe laggier)."""
+            if self.cur_result is not None and key in self.cur_result:
+                return self.cur_result[key]
+            return mirror
+
         if has_gnss:
             T1, T0 = self.state.wTbs[t1], self.state.wTbs[t1 - 1]
             p = geodesy.Cen(self.ten0).T @ (self.state.gnss_position[t1] - self.ten0)
             p = p - self.state.wTbs[t1].R @ self.tbg
             p = p - T1.t + T0.t
             if X(t1 - 1) not in values:
-                values[X(t1 - 1)] = self.cur_result[X(t1 - 1)]
+                values[X(t1 - 1)] = res(X(t1 - 1), self.state.wTbs[t1 - 1])
             graph.add(GPSFactor(X(t1 - 1), p, GNSS_NOISE))
         if has_odo:
             v1 = self.state.wTbs[t1].R.T @ self.state.vs[t1]
             v0 = self.state.wTbs[t1 - 1].R.T @ self.state.vs[t1 - 1]
             v = self.state.odo_vel[t1] - v1 + v0
             if X(t1 - 1) not in values:
-                values[X(t1 - 1)] = self.cur_result[X(t1 - 1)]
+                values[X(t1 - 1)] = res(X(t1 - 1), self.state.wTbs[t1 - 1])
             if V(t1 - 1) not in values:
-                values[V(t1 - 1)] = self.cur_result[V(t1 - 1)]
+                values[V(t1 - 1)] = res(V(t1 - 1), self.state.vs[t1 - 1])
             graph.add(VelFactor(X(t1 - 1), V(t1 - 1), v, ODO_NOISE))
         self.marg_factor = graph.linearize_to_hessian(values)
 

@@ -234,10 +234,7 @@ class Frontend:
             if 0 < g < len(self.all_gnss) and self.all_gnss[g, 0] - cur_t < 0.01:
                 state.append_gnss(cur_t, self.all_gnss[g, 1:4])
 
-        if self.use_zupt and len(state.preintegrations) > 2 and \
-                state.preintegrations[self.t1 - 3].dt > 3.0:
-            if np.linalg.norm(state.vs[self.t1 - 2]) < 0.025:
-                state.append_odo(cur_t, np.zeros(3))
+        self._zupt_gate(cur_t)
 
         if len(self.all_odo) > 0:
             o = bisect.bisect(list(self.all_odo[:, 0]), cur_t - 1e-6)
@@ -247,6 +244,22 @@ class Frontend:
         imu = self.all_imu[self.cur_imu_ii]
         state.append_imu(imu[0], imu[4:7], np.deg2rad(imu[1:4]))
         self.cur_imu_ii += 1
+
+    def _zupt_gate(self, cur_t: float) -> bool:
+        """Zero-velocity-update admission gate (dbaf_frontend.py:206-209,
+        WHU batch mode 1): when the merged preintegration interval below
+        the window top spans > 3 s and the second-newest keyframe's
+        estimated velocity is < 0.025 m/s, append a zero-velocity
+        odometry factor.  Returns whether it fired (unit-tested exactly,
+        tests/test_zupt.py)."""
+        state = self.coupled.state
+        if self.use_zupt and len(state.preintegrations) > 2 and \
+                state.preintegrations[self.t1 - 3].dt > 3.0:
+            thresh = self.cfg.sensors.zupt_vel_thresh
+            if np.linalg.norm(state.vs[self.t1 - 2]) < thresh:
+                state.append_odo(cur_t, np.zeros(3))
+                return True
+        return False
 
     def _write_traj_row(self, t: float, T: Pose):
         from scipy.spatial.transform import Rotation

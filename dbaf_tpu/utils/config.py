@@ -68,7 +68,10 @@ class FrontendConfig:
     # round trip (stacked into one transfer).  Each pull costs a full
     # transport RTT (~25-30 ms on axon) even when the pack is ready, so
     # per-frame drains floor cheap (gate-rejected) frames at the RTT;
-    # batching B packs amortizes it to RTT/B.  Clamped at activation so
+    # batching B packs amortizes it (measured rejected-frame loop at
+    # B=8: 20.4 ms/frame = 49 fps, drain 13.5 of it; B=16 measured
+    # WORSE -- the stacked pull does not amortize past ~8 on this
+    # transport; tools/profile_gateloop.py).  Clamped at activation so
     # the lagged rollup trigger keeps buffer headroom.
     monitor_dir: str = ""            # when set, dump the reference's live
     # monitor panels + debug views as PNGs there (dbaf_frontend.py:76-83,
@@ -99,6 +102,11 @@ class SensorConfig:
     use_gnss: bool = False
     use_odo: bool = False
     use_zupt: bool = False
+    # ZUPT admission gate: max |v| of the second-newest keyframe for a
+    # zero-velocity update (the reference hardcodes 0.025 m/s,
+    # dbaf_frontend.py:208); exposed for scenes/platforms whose
+    # stationary-velocity estimate floor differs
+    zupt_vel_thresh: float = 0.025
     imu_rate: float = 200.0
     acc_noise: float = 0.1
     gyro_noise: float = 0.01
@@ -135,8 +143,10 @@ class SensorConfig:
     # overlaps device compute).  Activates post-VI-init (GNSS configs:
     # post-georeferencing); GNSS/odo/ZUPT factors ride the per-keyframe
     # pack, with culled-frame measurements re-linked into the device
-    # marginal in-kernel.  save_pkl and high-freq output stay
-    # synchronous; init/reinit events drain back to the synchronous flow.  Preintegrations are linearized
+    # marginal in-kernel.  save_pkl archival rides the kernel's roll_out
+    # output; IMU-rate high-freq output propagates from the lagged host
+    # mirrors (one-keyframe staleness).  init/reinit events drain back
+    # to the synchronous flow.  Preintegrations are linearized
     # at the previous keyframe's bias (one solve older than the sync
     # flow); the factor's first-order bias correction absorbs the
     # difference -- trajectory parity incl. culls is covered by
