@@ -307,6 +307,28 @@ def init_gnss(video: DepthVideo, coupled: MultiSensorBA, t1: int,
         state.vs[i] = state.vs[i] * s
     write_camera_poses(video, wTbs, coupled.Tbc, t1, scale=s)
 
+    # the rewrite moved every state into the georeferenced frame: the
+    # device-solver caches (window init values, result cache) hold
+    # OLD-world values and must rebuild from the rewritten mirrors --
+    # seeding the next solve (or an async-pipeline activation snapshot)
+    # from them diverges by the full frame offset.
+    coupled._fg_state = None
+    coupled._fg_key = None
+    coupled._fg_synced = True
+    coupled._fg_rows_np = None
+    coupled.cur_result = None
+    # Drop the marginal prior: its linearization anchors the OLD world,
+    # and after a yaw-psi rewrite its attitude information pulls the
+    # window back by psi -- the attitude error leaks gravity at
+    # g*sin(psi) and the estimate free-falls (measured: ~250 m over 4 s
+    # at psi=35 deg).  The reference keeps marg_factor through init_GNSS
+    # (dbaf_frontend.py:517-604), which only survives small est-to-ENU
+    # yaw offsets; set_prior below re-anchors pose+bias on the first two
+    # window states, and GNSS/vision/IMU re-establish the rest.
+    coupled.marg_factor = None
+    coupled._marg_dev = None
+    coupled._marg_dev_origin = -1
+
     coupled.gnss_init_t1 = t1
     coupled.gnss_init_time = float(video.tstamp[t1 - 1])
     coupled.set_prior(coupled.last_t0, t1)
