@@ -1,8 +1,9 @@
 """System benchmark: keyframe throughput of the full VIO hot path.
 
-Four phases, each on the real TPU at the reference's TUM-VI operating
+Five phases, each on the real TPU at the reference's TUM-VI operating
 point (384x512 images, 48x64 feature grid, max_factors=48 --
-batch_tumvi.py:28-41):
+batch_tumvi.py:28-41).  Every JSON line records the preset and the
+update-round configuration it was measured at (iters1/iters2):
 
 1. ``visual``   -- every frame admitted, no culling: pure keyframe
    throughput, directly comparable to BENCH_r01.json.
@@ -64,11 +65,14 @@ def _make_params(model, jax, jnp):
     return {**params, **uparams}
 
 
-def bench_visual(mode: str):
+def bench_visual(mode: str, rounds=None):
     """Visual pipeline throughput via the async one-dispatch-per-frame
     path.  mode: "visual" = admit every frame, no culls (r01 operating
     point); "cull" = admit every frame, cull-enabled; "gateonly" =
-    admission gate rejects every frame (pure per-frame gate cost)."""
+    admission gate rejects every frame (pure per-frame gate cost).
+    rounds: optional (iters1, iters2) override -- None keeps the preset
+    (TUM-VI 3+1, docs/ABLATION_ROUNDS.md); (4, 2) is the reference's
+    operating point (demo:90-91)."""
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +85,8 @@ def bench_visual(mode: str):
     cfg.frontend.rollup_shift = 15
     cfg.frontend.async_pipeline = True
     cfg.ba.window = 48
+    if rounds is not None:
+        cfg.frontend.iters1, cfg.frontend.iters2 = rounds
 
     model = DroidNet()
     params = _make_params(model, jax, jnp)
@@ -101,7 +107,16 @@ def bench_visual(mode: str):
         # admit/cull mix; a distribution-tuned threshold is not
         # reproducible with the untrained network on this stream.
     elif mode == "gateonly":
-        cfg.frontend.filter_thresh = 1e9  # reject everything post-init
+        # warm in admit-all mode so initialization + pipeline activation
+        # happen; the threshold is flipped to reject-everything AFTER
+        # activation (below), so the metric measures the PRODUCTION
+        # async path's per-frame rejection cost (one dispatch, zero
+        # pulls outside the stacked drain).  Rounds r1-r4 measured the
+        # sync-fallback filter instead (one blocking gate pull per
+        # frame, RTT-bound ~21 fps): with the threshold baked at 1e9
+        # from frame 0 the system never initializes and the async
+        # pipeline never activates.
+        cfg.frontend.filter_thresh = -1.0
         cfg.frontend.keyframe_thresh = -1.0
     else:
         cfg.frontend.filter_thresh = -1.0
@@ -145,6 +160,22 @@ def bench_visual(mode: str):
         jax.block_until_ready(system._async.state["poses"])
         # drain warmup packs so the admission count starts clean
         system._async._drain(len(system._async.queue))
+    if mode == "gateonly" and system._async is not None \
+            and system._async.active:
+        # flip the gate to reject-everything and rebuild the step kernel
+        # (the threshold is baked into the jit): the measured loop then
+        # runs the production async rejection path
+        a = system._async
+        a.sync()
+        cfg.frontend.filter_thresh = 1e9
+        a.kernel = None
+        a.activate()
+        for _ in range(6):  # compile + settle the rejected-frame path
+            system.track(float(k), frame(k), intrinsics=intr)
+            k += 1
+        jax.block_until_ready(a.state["poses"])
+        a._drain(len(a.queue))
+        n_warm = k
     t1_before = (
         int(system._async.t1_mirror)
         if system._async is not None and system._async.active
@@ -173,7 +204,9 @@ def bench_visual(mode: str):
         t1_after - t1_before + rolls * cfg.frontend.rollup_shift, 0
     )
     return dict(kf_per_sec=n_meas / dt, frames_per_sec=n_meas / dt,
-                kept=kept, frames=n_meas)
+                kept=kept, frames=n_meas,
+                rounds={"iters1": cfg.frontend.iters1,
+                        "iters2": cfg.frontend.iters2})
 
 
 def bench_coupled():
@@ -306,7 +339,9 @@ def bench_coupled():
                 kept=frontend.t1 - t1_before
                 + rolls * cfg.frontend.rollup_shift,
                 culls=ca.culls if ca is not None else 0,
-                mega_steps=megas, async_steps=async_steps)
+                mega_steps=megas, async_steps=async_steps,
+                rounds={"iters1": frontend.iters1,
+                        "iters2": frontend.iters2})
 
 
 def main():
@@ -321,17 +356,39 @@ def main():
         "unit": "keyframes/s",
         "vs_baseline": round(rv["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
         "estimated_baseline": True,
+        "preset": "tumvi",
+        "rounds": rv["rounds"],
+    }), flush=True)
+
+    # same pipeline at the REFERENCE's round configuration (4+2,
+    # demo:90-91) so rounds across BENCH_r0*.json stay comparable without
+    # git archaeology (the preset moved to 3+1 in round 4,
+    # docs/ABLATION_ROUNDS.md)
+    rvr = bench_visual(mode="visual", rounds=(4, 2))
+    print(json.dumps({
+        "metric": "keyframes_per_sec_ref_rounds",
+        "value": round(rvr["kf_per_sec"], 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(rvr["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
+        "estimated_baseline": True,
+        "preset": "tumvi",
+        "rounds": rvr["rounds"],
     }), flush=True)
 
     rg = bench_visual(mode="cull")
     print(json.dumps({
-        "metric": "culled_keyframes_per_sec",
+        # cull EVERY keyframe: the deterministic worst case of the
+        # in-kernel cull machinery (with the no-cull phase above it
+        # brackets any real admit/cull mix)
+        "metric": "all_cull_worst_case_kf_per_sec",
         "value": round(rg["kf_per_sec"], 3),
         "unit": "keyframes/s",
         "vs_baseline": round(rg["kf_per_sec"] / REFERENCE_KEYFRAMES_PER_SEC, 3),
         "estimated_baseline": True,
         "kept_keyframes": rg["kept"],
         "frames": rg["frames"],
+        "preset": "tumvi",
+        "rounds": rg["rounds"],
     }), flush=True)
 
     ro = bench_visual(mode="gateonly")
@@ -340,6 +397,7 @@ def main():
         "value": round(ro["frames_per_sec"], 3),
         "unit": "frames/s",
         "vs_baseline": None,
+        "preset": "tumvi",
     }), flush=True)
 
     rc = bench_coupled()
@@ -353,6 +411,8 @@ def main():
         "async_culls": rc["culls"],
         "mega_steps": rc["mega_steps"],
         "async_steps": rc["async_steps"],
+        "preset": "tumvi",
+        "rounds": rc["rounds"],
     }), flush=True)
 
 

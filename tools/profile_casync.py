@@ -91,6 +91,12 @@ def main():
     n = n_warm + n_meas
 
     cfg, video, graph, frontend, fps = build(n)
+    if len(sys.argv) > 3:
+        # rounds override (traced ints: no recompile): isolates the
+        # per-round cost from the fixed per-keyframe overhead
+        frontend.iters1 = int(sys.argv[2])
+        frontend.iters2 = int(sys.argv[3])
+        print(f"rounds override: {frontend.iters1}+{frontend.iters2}")
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.standard_normal((3, H8, W8, 128)), jnp.bfloat16)
     id_map = np.zeros(cfg.buffer, dtype=np.int32)
