@@ -341,7 +341,8 @@ def bench_coupled():
                 culls=ca.culls if ca is not None else 0,
                 mega_steps=megas, async_steps=async_steps,
                 rounds={"iters1": frontend.iters1,
-                        "iters2": frontend.iters2})
+                        "iters2": frontend.iters2},
+                lm_iters=cfg.ba.lm_iters)
 
 
 def main():
@@ -413,6 +414,7 @@ def main():
         "async_steps": rc["async_steps"],
         "preset": "tumvi",
         "rounds": rc["rounds"],
+        "lm_iters": rc["lm_iters"],
     }), flush=True)
 
 

@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--h8", type=int, default=8)
     ap.add_argument("--w8", type=int, default=16)
     ap.add_argument("--traj_out", type=str, default="")
+    ap.add_argument("--lm-iters", type=int, default=2,
+                    help="coupled visual-relinearize/LM passes per round "
+                    "(reference: 2; 1 = the docs/ABLATION_LM.md preset)")
+    ap.add_argument("--device-solver", action="store_true",
+                    help="coupled solve fully on device (the bench "
+                    "flagship configuration)")
     args = ap.parse_args(argv)
 
     from ..utils.jax_setup import setup as jax_setup
@@ -65,8 +71,10 @@ def main(argv=None):
             warmup=8, vi_warmup=12, keyframe_thresh=-1.0,
             iters1=2, iters2=1, init_iters=4, rollup_start=1000,
         ),
-        ba=BAConfig(window=max(32, n + 4)),
+        ba=BAConfig(window=max(32, n + 4), lm_iters=args.lm_iters),
     )
+    if args.device_solver:
+        cfg.sensors.device_solver = True
 
     video = DepthVideo(cfg)
     oracle = make_oracle(jnp.asarray(gt_cw), jnp.asarray(gt_disps), intr)

@@ -615,7 +615,7 @@ class MultiSensorBA:
                 ii_d, jj_d, mask,
                 jnp.asarray(t0, jnp.int32), jnp.asarray(n, jnp.int32),
                 self._fg_state, self._fg_pg, mgd, self._A_block(),
-                P=P, NW=NW, n_iters=2,
+                P=P, NW=NW, n_iters=self.cfg.ba.lm_iters,
                 eps_damping=self.cfg.ba.eps_damping,
             )
         )

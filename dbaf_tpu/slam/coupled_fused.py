@@ -92,7 +92,7 @@ def run_coupled_rounds(
             res.poses, res.disps, damping, intrinsics,
             cur_target, cur_weight, ii_d, jj_d, mask_d,
             fg_t0, n_fg, fg, pg, mgd, A, sel_pose,
-            P=P, NW=NW, n_iters=2, eps_damping=cfg.ba.eps_damping,
+            P=P, NW=NW, n_iters=cfg.ba.lm_iters, eps_damping=cfg.ba.eps_damping,
         )
         return (poses, disps, res.edges.net, res.edges.target,
                 res.edges.weight, fg, res.host_pack,

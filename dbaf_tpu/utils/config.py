@@ -88,6 +88,11 @@ class FrontendConfig:
 class BAConfig:
     window: int = 80                 # static pose-window capacity for DBA
     iters: int = 2                   # GN iterations per ba() call
+    # coupled mode: visual-relinearize -> factor-graph LM -> retract
+    # passes per update round (the reference runs 2, depth_video.py:524
+    # "for iter in range(2)"); 1 halves the coupled solve cost per round
+    # at a measured oracle-ATE cost recorded in docs/ABLATION_LM.md
+    lm_iters: int = 2
     lm: float = 1e-4
     ep: float = 0.1
     alpha: float = 0.05              # depth-sensor prior weight (droid_kernels.cu:1477)
@@ -202,6 +207,11 @@ def tumvi_config(**overrides) -> DBAFusionConfig:
             iters1=3,
             iters2=1,
         ),
+        # ONE visual-relinearize/LM pass per coupled round instead of the
+        # reference's two (docs/ABLATION_LM.md): -12.3 ms/keyframe on the
+        # flagship pipeline for +1.8 mm oracle ATE (0.2% of span).  Pass
+        # ba=BAConfig(lm_iters=2) to restore the reference structure.
+        ba=BAConfig(lm_iters=1),
     )
     return dataclasses.replace(cfg, **overrides)
 

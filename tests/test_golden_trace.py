@@ -12,7 +12,12 @@ dense BA, culling) on a procedural image stream.  The recorded f32
 trajectory/disparity/feature statistics are committed as data
 (tests/data/golden_trace.npz) and asserted WITHOUT torch -- the
 strongest checkpoint-surgery risk reduction available in an image that
-ships no real droid.pth.
+ships no real droid.pth.  Honesty note: the weights are he-scaled
+RANDOM tensors, so this trace guards the conversion/compute COMPOSITION
+against drift and cannot catch real-checkpoint distribution
+pathologies (e.g. norm statistics far from 1, trained-weight dynamic
+ranges); re-run the chain against the true TartanAir checkpoint when
+one is available.
 
 Any semantic drift anywhere in the chain (key translation, conv-head
 fusion, NHWC repacking, correlation numerics, BA linearization) moves

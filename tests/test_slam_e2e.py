@@ -336,7 +336,8 @@ def test_e2e_with_culling_and_rollup():
 
 
 @pytest.mark.slow
-def test_long_run_multisensor_stays_bounded():
+@pytest.mark.parametrize("lm_iters", [2, 1])
+def test_long_run_multisensor_stays_bounded(lm_iters):
     """Long-run accuracy regression for the coupled stack on the
     eval-infrastructure scene (dbaf_tpu/eval/synthetic.py).
 
@@ -346,10 +347,19 @@ def test_long_run_multisensor_stays_bounded():
     until the solver blows up ~25 keyframes later (ATE was 72% of span at
     34 frames with the old low-frequency excitation); (b) any future
     marginalization/cull regression that only manifests beyond the ~26
-    frames the older e2e tests cover."""
+    frames the older e2e tests cover.
+
+    Parametrized over the coupled LM-pass count: 2 is the reference
+    structure and the config default; 1 is the TUM-VI preset's
+    throughput point (docs/ABLATION_LM.md) and must stay bounded too.
+    The lm_iters=1 leg runs the device solver (the flagship/bench
+    configuration the preset targets)."""
     from dbaf_tpu.apps.demo_synthetic import main as demo_main
 
-    res = demo_main(["--frames", "34", "--multisensor"])
+    args = ["--frames", "34", "--multisensor", "--lm-iters", str(lm_iters)]
+    if lm_iters == 1:
+        args.append("--device-solver")
+    res = demo_main(args)
     assert res["imu_enabled"]
     assert res["keyframes"] >= 14
     assert res["ate_pct_of_span"] < 8.0, res
