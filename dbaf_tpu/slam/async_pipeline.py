@@ -53,8 +53,19 @@ def make_step_kernel(
     ctx_fn: Callable,
     e_cap: int,
     i_cap: int,
+    ring: int = 16,
 ):
-    """One-dispatch per-frame step (gate + admit + transition + rounds)."""
+    """One-dispatch per-frame step (gate + admit + transition + rounds).
+
+    ``ring`` sizes the carried per-frame pack RING: the host drain pulls
+    the ONE ring array instead of a stack of per-step pack outputs.
+    Must cover the maximum queue depth (lag + drain batch).  Measured
+    (tools/profile_gateloop.py): the drain wall time is unchanged vs the
+    stacked pull (~15 ms/frame at B=8) — it is dominated by waiting out
+    the BACKLOG of enqueued steps (~12 ms/step of transport-side
+    per-dispatch overhead even when device compute is ~1 ms), not by the
+    transfer — but the ring is one transfer instead of a B-input stack
+    dispatch and keeps the queue free of device references."""
     mega_raw = make_update_kernel(cfg, update_fn, e_cap, i_cap).raw
     gcfg = cfg.graph
     wf = gcfg.frontend_window
@@ -79,6 +90,7 @@ def make_step_kernel(
         bad_ii, bad_jj, bad_valid,
         kf_fmap, kf_net, kf_inp,
         t1, prox_d, prev_cull,
+        pack_ring, ring_pos,
         rounds_a, rounds_b, roll_start, roll_shift,
     ):
         # ---- deferred cull bookkeeping from the previous step
@@ -349,11 +361,16 @@ def make_step_kernel(
             # of the next step (mirrors frontend._pending_t1); zero rounds
             # (non-admitted) leave d_cull at +inf so the flag stays False
             prev_cull=cull,
+            pack_ring=jax.lax.dynamic_update_index_in_dim(
+                pack_ring, pack, ring_pos % ring, 0
+            ),
+            ring_pos=ring_pos + 1,
         )
         return state, pack
 
-    # donate the carried state (args 1..31 except image/scalars)
-    return jax.jit(step, donate_argnums=tuple(range(1, 27)))
+    # donate the carried state (args 1..31 except image/scalars; 30 = the
+    # pack ring)
+    return jax.jit(step, donate_argnums=tuple(range(1, 27)) + (30,))
 
 
 _STATE_KEYS = (
@@ -365,6 +382,7 @@ _STATE_KEYS = (
     "bad_ii", "bad_jj", "bad_valid",
     "kf_fmap", "kf_net", "kf_inp",
     "t1", "prox_d", "prev_cull",
+    "pack_ring", "ring_pos",
 )
 
 
@@ -400,6 +418,9 @@ class AsyncPipeline:
             )
             batch = min(batch, slack)
         self.drain_batch = max(1, batch)
+        # per-frame pack ring capacity (device-side; see make_step_kernel)
+        self.ring = self.lag + self.drain_batch
+        self._abs_idx = 0
 
     # ------------------------------------------------------------------
     def can_activate(self) -> bool:
@@ -421,8 +442,11 @@ class AsyncPipeline:
         fe._resolve_pending()
         g._flush()
         if self.kernel is None:
+            # ring must cover the maximum queue depth (lag + drain batch)
+            self.ring = self.lag + self.drain_batch
             self.kernel = make_step_kernel(
                 self.cfg, g.update_fn, flt.feat, flt.ctx, g.e_cap, g.i_cap,
+                ring=self.ring,
             )
 
         E, I = g.e_cap, g.i_cap
@@ -455,9 +479,16 @@ class AsyncPipeline:
             t1=jnp.asarray(fe.t1, jnp.int32),
             prox_d=prox[off:].astype(jnp.float32),
             prev_cull=jnp.asarray(False),  # _resolve_pending ran above
+            pack_ring=jnp.zeros(
+                (self.ring, 12 + 5 * self.cfg.graph.frontend_window
+                 + (len(self.cfg.graph.skip_edge)
+                    if self.cfg.graph.frontend_window == 5 else 0)),
+                jnp.float32),
+            ring_pos=jnp.asarray(0, jnp.int32),
         )
         self.t1_mirror = fe.t1
         self.queue.clear()
+        self._abs_idx = 0
         self.active = True
 
     # ------------------------------------------------------------------
@@ -474,7 +505,8 @@ class AsyncPipeline:
         )
         self.state = state
         small = np.asarray(image[::8, ::8]).astype(np.uint8)
-        self.queue.append((tstamp, small, pack))
+        self.queue.append((tstamp, small, self._abs_idx))
+        self._abs_idx += 1
         if len(self.queue) >= self.lag + self.drain_batch:
             self._drain(self.drain_batch)
         # save_pkl only: rollup check on the lagged mirror (lag+batch
@@ -486,18 +518,15 @@ class AsyncPipeline:
             self.activate()
 
     def _drain(self, k: int):
-        """Pull ``k`` queued packs in ONE stacked D2H transfer (each
-        separate np.asarray costs a full transport RTT even when the data
-        is long since computed) and apply them in order."""
+        """Pull ``k`` queued packs via ONE D2H transfer of the carried
+        pack RING and apply them in order (see make_step_kernel's ring
+        note for the measured cost structure)."""
         batch = [self.queue.popleft() for _ in range(min(k, len(self.queue)))]
         if not batch:
             return
-        if len(batch) == 1:
-            rows = [np.asarray(batch[0][2])]
-        else:
-            rows = np.asarray(jnp.stack([p for _, _, p in batch]))
-        for (tstamp, small, _), pack in zip(batch, rows):
-            self._apply_pack(tstamp, small, pack)
+        ring = np.asarray(self.state["pack_ring"])  # one pull
+        for tstamp, small, idx in batch:
+            self._apply_pack(tstamp, small, ring[idx % self.ring])
 
     def _drain_one(self):
         self._drain(1)
