@@ -368,9 +368,14 @@ def make_step_kernel(
         )
         return state, pack
 
-    # donate the carried state (args 1..31 except image/scalars; 30 = the
-    # pack ring)
-    return jax.jit(step, donate_argnums=tuple(range(1, 27)) + (30,))
+    # donate the carried state (args 1..31 except image/scalars).  The
+    # pack ring is deliberately NOT donated: the host queue keeps each
+    # step's ring VERSION so the drain can pull the ring as of the
+    # newest drained step — which is ``lag`` steps old and long
+    # executed — instead of blocking on the whole enqueued backlog
+    # (~12 ms/step of transport dispatch overhead).  The copy is a few
+    # hundred floats per step.
+    return jax.jit(step, donate_argnums=tuple(range(1, 27)))
 
 
 _STATE_KEYS = (
@@ -505,7 +510,9 @@ class AsyncPipeline:
         )
         self.state = state
         small = np.asarray(image[::8, ::8]).astype(np.uint8)
-        self.queue.append((tstamp, small, self._abs_idx))
+        self.queue.append(
+            (tstamp, small, self._abs_idx, state["pack_ring"])
+        )
         self._abs_idx += 1
         if len(self.queue) >= self.lag + self.drain_batch:
             self._drain(self.drain_batch)
@@ -524,8 +531,11 @@ class AsyncPipeline:
         batch = [self.queue.popleft() for _ in range(min(k, len(self.queue)))]
         if not batch:
             return
-        ring = np.asarray(self.state["pack_ring"])  # one pull
-        for tstamp, small, idx in batch:
+        # ring as of the NEWEST drained step: contains every batch pack
+        # (batch span <= ring size) and only waits for a step that is
+        # ``lag`` dispatches old — not the whole enqueued backlog
+        ring = np.asarray(batch[-1][3])  # one pull
+        for tstamp, small, idx, _ in batch:
             self._apply_pack(tstamp, small, ring[idx % self.ring])
 
     def _drain_one(self):

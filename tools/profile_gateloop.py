@@ -99,7 +99,7 @@ def main():
         a.state = state
         t3 = time.time()
         small = np.asarray(image[::8, ::8]).astype(np.uint8)
-        a.queue.append((tstamp, small, a._abs_idx))
+        a.queue.append((tstamp, small, a._abs_idx, state["pack_ring"]))
         a._abs_idx += 1
         t4 = time.time()
         if len(a.queue) >= a.lag + a.drain_batch:
