@@ -135,7 +135,10 @@ def bench_visual(mode: str, rounds=None):
     # (the gate threshold only bites once the async kernel is live), so
     # activation always happens; its t1 then freezes (no rollup -- the
     # warmup cap exits the loop).
-    n_meas = 30
+    # gateonly frames are ~2-3 ms with a ~100-400 ms drain/backlog spike
+    # every drain_batch frames; a longer window amortizes the spikes so
+    # the metric reads steady-state throughput, not spike alignment
+    n_meas = 60 if mode == "gateonly" else 30
     k = 0
     while k < 60 and not (system._async is not None and
                           system._async.active and k >= 12):
