@@ -776,7 +776,11 @@ class CoupledAsync:
             # save_pkl archival and IMU-rate high-freq output are carried
             # by the pipeline -- v5: retired rows ride the kernel's
             # roll_out output, high-freq rows propagate from the lagged
-            # host mirrors (one-keyframe lag, documented above))
+            # host mirrors (one-keyframe lag, documented above).
+            # stereo / RGB-D / upsample stay on the sync flow: none is a
+            # reference COUPLED operating point (every reference demo is
+            # mono+IMU; stereo/depth are inherited DROID visual modes),
+            # so the faithful behavior for them is the general sync path)
             and not cfg.stereo and not cfg.upsample
             and not fe.video.has_depth
             and (len(fe.all_gnss) == 0 or coupled.gnss_init_time > 0.0)
