@@ -184,7 +184,7 @@ def main():
             jnp.asarray(rng.standard_normal(NW * 21), jnp.float32), 16, NW)
         mgd = dg.MargDense(
             jnp.zeros((NW,), bool),
-            jnp.zeros((NW, 15), jnp.float32),
+            jnp.zeros((NW, 21), jnp.float32),  # [R(9)|t|vel|bias] rows
             jnp.zeros((NW * 15, NW * 15), jnp.float32),
             jnp.zeros((NW * 15,), jnp.float32),
         )
