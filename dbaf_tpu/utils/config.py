@@ -237,6 +237,9 @@ def whu_config(**overrides) -> DBAFusionConfig:
         image_size=(320, 640),
         graph=GraphConfig(max_factors=48, mask_threshold=0.0),
         sensors=SensorConfig(use_gnss=True, use_odo=True, use_zupt=True),
+        # the coupled throughput preset (docs/ABLATION_LM.md; same basis
+        # as tumvi_config) -- this is the flagship GNSS production mode
+        ba=BAConfig(lm_iters=1),
     )
     return dataclasses.replace(cfg, **overrides)
 
